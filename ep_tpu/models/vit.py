@@ -1,0 +1,455 @@
+"""One configurable flax Vision Transformer covering the reference's backbone zoo.
+
+Instead of five near-duplicate torch model files (models_vit.py,
+models_simmim.py, models_mae.py encoder, DINOv2/CLIP towers), a single
+parameterized implementation:
+
+  * absolute learned pos-embed (MAE/timm) or none + relative-position-bias
+    attention (SimMIM/BEiT, models_simmim.py:30-115),
+  * optional [CLS] token (vit_huge I-JEPA style runs without one,
+    models_vit.py:161-196) and optional register tokens (DINOv2),
+  * optional LayerScale (SimMIM init_values, DINOv2),
+  * q/v-only attention bias (BEiT-style k-bias-free, models_simmim.py:42-48),
+  * fused attention by default; opt-in capture of the 5-kind attention-stat
+    stack (the reference pays this tax on every step, models_vit.py:243-269 —
+    we only pay it in the attention-stats CLI).
+
+The ``return_features`` protocol mirrors models_vit.py:198-423: the pooled
+head consumes "pos" (patch tokens) or "both" ([CLS]+patches); "cls"/"gap"/
+"raw"/"cp*"/"ca*"/"attn-*" are the LP/diagnostic modes.
+
+Note: the reference applies NO final LayerNorm before the head in its probing
+path (forward_features returns raw block output; models_vit.py:275-398), so
+``final_norm="none"`` is the parity default; DINOv2/CLIP-style towers set it.
+"""
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from typing import Any, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ep_tpu.ops.attention import attn_stats_from_probs, mha
+
+# Pooled-feature names that consume patch tokens only / [CLS]+patch tokens
+# (models_vit.py:404-417).
+ATTENTIVE_POOLINGS = [
+    "abmilp", "simpool", "esimpool", "clip", "siglip", "aim", "ep", "cbam",
+    "coca", "cait", "dinovit", "jepa", "dolg", "cae",
+]
+ATTENTIVE_POOLINGS_ALL = [f"{n}_all" for n in ATTENTIVE_POOLINGS]
+
+
+def remap_features(return_features: str) -> str:
+    """CLI name → token-level mode (models_vit.py:412-417)."""
+    if return_features == "pos":
+        return "gap"
+    if return_features in ATTENTIVE_POOLINGS:
+        return "pos"
+    if return_features in ATTENTIVE_POOLINGS_ALL:
+        return "both"
+    return return_features
+
+
+@dataclass(frozen=True)
+class ViTConfig:
+    img_size: int = 224
+    patch_size: int = 16
+    in_chans: int = 3
+    embed_dim: int = 768
+    depth: int = 12
+    num_heads: int = 12
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    qkv_bias_mode: str = "full"  # full | qv_only (BEiT/SimMIM)
+    class_token: bool = True
+    reg_tokens: int = 0
+    use_abs_pos_emb: bool = True
+    rel_pos_bias: str = "none"  # none | shared | per_block
+    init_values: Optional[float] = None  # LayerScale
+    final_norm: str = "none"  # none | ln
+    norm_eps: float = 1e-6
+    mlp_type: str = "gelu"  # gelu | swiglu
+    dtype: Any = jnp.bfloat16  # compute dtype; params stay fp32
+
+    @property
+    def grid_size(self) -> int:
+        return self.img_size // self.patch_size
+
+    @property
+    def num_patches(self) -> int:
+        return self.grid_size ** 2
+
+    @property
+    def num_prefix_tokens(self) -> int:
+        return (1 if self.class_token else 0) + self.reg_tokens
+
+    def replace(self, **kw) -> "ViTConfig":
+        return dataclasses.replace(self, **kw)
+
+
+def _rel_pos_index(grid: Tuple[int, int]) -> np.ndarray:
+    """BEiT relative-position index over a (H, W) grid + [CLS]
+    (models_simmim.py:56-75); returned shape (T, T) with T = H*W+1."""
+    wh, ww = grid
+    coords = np.stack(np.meshgrid(np.arange(wh), np.arange(ww), indexing="ij"))
+    flat = coords.reshape(2, -1)  # (2, Wh*Ww)
+    rel = flat[:, :, None] - flat[:, None, :]  # (2, T-1, T-1)
+    rel = rel.transpose(1, 2, 0).astype(np.int64)
+    rel[:, :, 0] += wh - 1
+    rel[:, :, 1] += ww - 1
+    rel[:, :, 0] *= 2 * ww - 1
+    num_rel = (2 * wh - 1) * (2 * ww - 1) + 3
+    idx = np.zeros((wh * ww + 1, wh * ww + 1), dtype=np.int64)
+    idx[1:, 1:] = rel.sum(-1)
+    idx[0, 0:] = num_rel - 3
+    idx[0:, 0] = num_rel - 2
+    idx[0, 0] = num_rel - 1
+    return idx
+
+
+class RelPosBias(nn.Module):
+    """Shared relative-position bias table (models_simmim.py:180-215)."""
+
+    grid: Tuple[int, int]
+    num_heads: int
+
+    @nn.compact
+    def __call__(self) -> jnp.ndarray:
+        wh, ww = self.grid
+        num_rel = (2 * wh - 1) * (2 * ww - 1) + 3
+        table = self.param(
+            "relative_position_bias_table",
+            nn.initializers.zeros, (num_rel, self.num_heads), jnp.float32,
+        )
+        idx = _rel_pos_index(self.grid)
+        bias = table[idx.reshape(-1)].reshape(idx.shape[0], idx.shape[1], -1)
+        return bias.transpose(2, 0, 1)[None]  # (1, H, T, T)
+
+
+class Mlp(nn.Module):
+    hidden: int
+    out: int
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(self.hidden, dtype=self.dtype, name="fc1")(x)
+        x = nn.gelu(x, approximate=False)
+        x = nn.Dense(self.out, dtype=self.dtype, name="fc2")(x)
+        return x
+
+
+class SwiGLUMlp(nn.Module):
+    """SwiGLU FFN (DINOv2-giant style)."""
+
+    hidden: int
+    out: int
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        x12 = nn.Dense(2 * self.hidden, dtype=self.dtype, name="w12")(x)
+        x1, x2 = jnp.split(x12, 2, axis=-1)
+        x = nn.silu(x1) * x2
+        return nn.Dense(self.out, dtype=self.dtype, name="w3")(x)
+
+
+class Attention(nn.Module):
+    cfg: ViTConfig
+
+    @nn.compact
+    def __call__(self, x, *, temperature: float = 1.0,
+                 rel_bias: Optional[jnp.ndarray] = None,
+                 return_probs: bool = False):
+        c = self.cfg
+        B, T, D = x.shape
+        H = c.num_heads
+        head_dim = D // H
+        scale = head_dim ** -0.5
+
+        if c.qkv_bias and c.qkv_bias_mode == "qv_only":
+            qkv = nn.Dense(3 * D, use_bias=False, dtype=c.dtype, name="qkv")(x)
+            q_bias = self.param("q_bias", nn.initializers.zeros, (D,), jnp.float32)
+            v_bias = self.param("v_bias", nn.initializers.zeros, (D,), jnp.float32)
+            bias = jnp.concatenate([q_bias, jnp.zeros_like(q_bias), v_bias])
+            qkv = qkv + bias.astype(qkv.dtype)
+        else:
+            qkv = nn.Dense(3 * D, use_bias=c.qkv_bias, dtype=c.dtype, name="qkv")(x)
+
+        qkv = qkv.reshape(B, T, 3, H, head_dim).transpose(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+
+        out = mha(q, k, v, scale, temperature=temperature, bias=rel_bias,
+                  return_probs=return_probs)
+        probs = None
+        if return_probs:
+            out, probs = out
+        out = out.transpose(0, 2, 1, 3).reshape(B, T, D)
+        out = nn.Dense(D, dtype=c.dtype, name="proj")(out)
+        if return_probs:
+            return out, probs
+        return out
+
+
+class LayerScale(nn.Module):
+    dim: int
+    init_values: float
+    suffix: str = ""
+
+    @nn.compact
+    def __call__(self, x):
+        gamma = self.param(
+            f"gamma{self.suffix}",
+            nn.initializers.constant(self.init_values), (self.dim,), jnp.float32,
+        )
+        return x * gamma.astype(x.dtype)
+
+
+class Block(nn.Module):
+    cfg: ViTConfig
+    layer_idx: int = 0
+
+    @nn.compact
+    def __call__(self, x, *, temperature: float = 1.0,
+                 rel_bias: Optional[jnp.ndarray] = None,
+                 capture: bool = False):
+        c = self.cfg
+        D = c.embed_dim
+        h = nn.LayerNorm(epsilon=c.norm_eps, dtype=c.dtype, name="norm1")(x)
+        y = Attention(c, name="attn")(
+            h, temperature=temperature, rel_bias=rel_bias, return_probs=capture
+        )
+        probs = None
+        if capture:
+            y, probs = y
+
+        stats = None
+        if capture:
+            # residual magnitudes: ||x||, ||attn-branch|| (models_vit.py:147-150)
+            x_norm = jnp.linalg.norm(x.astype(jnp.float32), axis=2)
+            y_norm = jnp.linalg.norm(y.astype(jnp.float32), axis=2)
+            magnitudes = jnp.stack([x_norm, y_norm])[:, :, None]  # (2,B,1,T)
+            stats = (attn_stats_from_probs(probs), magnitudes, probs)
+
+        if c.init_values is not None:
+            y = LayerScale(D, c.init_values, "_1", name="ls1")(y)
+        x = x + y
+        h = nn.LayerNorm(epsilon=c.norm_eps, dtype=c.dtype, name="norm2")(x)
+        mlp_cls = SwiGLUMlp if c.mlp_type == "swiglu" else Mlp
+        m = mlp_cls(int(D * c.mlp_ratio), D, dtype=c.dtype, name="mlp")(h)
+        if c.init_values is not None:
+            m = LayerScale(D, c.init_values, "_2", name="ls2")(m)
+        x = x + m
+        return x, stats
+
+
+class VisionTransformer(nn.Module):
+    """The backbone. ``__call__`` implements the reference's
+    forward_features token protocol (models_vit.py:198-398)."""
+
+    cfg: ViTConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,  # (B, H, W, 3) NHWC
+        return_features: str = "cls",
+        return_block: Optional[int] = None,
+        *,
+        attn_temperature: float = 1.0,
+        capture_stats: bool = False,
+        return_final_attn: bool = False,
+    ):
+        c = self.cfg
+        B = x.shape[0]
+        D = c.embed_dim
+
+        # --- patch embedding -------------------------------------------------
+        x = nn.Conv(
+            D, (c.patch_size, c.patch_size), strides=(c.patch_size, c.patch_size),
+            padding="VALID", dtype=c.dtype, name="patch_embed",
+        )(x.astype(c.dtype))
+        x = x.reshape(B, -1, D)  # (B, N, D)
+        N = x.shape[1]
+
+        prefix = []
+        if c.class_token:
+            cls = self.param("cls_token", nn.initializers.zeros, (1, 1, D), jnp.float32)
+            prefix.append(jnp.broadcast_to(cls.astype(c.dtype), (B, 1, D)))
+        if c.reg_tokens:
+            reg = self.param(
+                "reg_tokens", nn.initializers.zeros, (1, c.reg_tokens, D), jnp.float32
+            )
+            prefix.append(jnp.broadcast_to(reg.astype(c.dtype), (B, c.reg_tokens, D)))
+        if prefix:
+            x = jnp.concatenate(prefix + [x], axis=1)
+
+        if c.use_abs_pos_emb:
+            pos = self.param(
+                "pos_embed", nn.initializers.normal(0.02),
+                (1, c.num_prefix_tokens + c.num_patches, D), jnp.float32,
+            )
+            if pos.shape[1] != x.shape[1]:
+                from ep_tpu.utils.pos_embed import interpolate_pos_embed
+                pos = interpolate_pos_embed(pos, N, c.num_prefix_tokens)
+            x = x + pos.astype(c.dtype)
+
+        rel_bias = None
+        if c.rel_pos_bias == "shared":
+            rel_bias = RelPosBias(
+                (c.grid_size, c.grid_size), c.num_heads, name="rel_pos_bias"
+            )()
+
+        # needs the final block's probabilities even in fast mode
+        needs_final_attn = return_final_attn or return_features.startswith(("ca", "attn"))
+
+        last_block = (return_block if return_block is not None else c.depth - 1)
+        all_stats, all_magn = [], []
+        final_probs = None
+        for i in range(c.depth):
+            if i > last_block:
+                break
+            capture = capture_stats or (needs_final_attn and i == last_block)
+            per_block_bias = rel_bias
+            if c.rel_pos_bias == "per_block":
+                per_block_bias = RelPosBias(
+                    (c.grid_size, c.grid_size), c.num_heads, name=f"rel_pos_bias_{i}"
+                )()
+            x, stats = Block(c, layer_idx=i, name=f"blocks_{i}")(
+                x, temperature=attn_temperature, rel_bias=per_block_bias,
+                capture=capture,
+            )
+            if stats is not None:
+                s, m, probs = stats
+                final_probs = probs
+                if capture_stats:
+                    all_stats.append(s)
+                    all_magn.append(m)
+
+        if c.final_norm == "ln":
+            x = nn.LayerNorm(epsilon=c.norm_eps, dtype=c.dtype, name="norm")(x)
+
+        n_prefix = c.num_prefix_tokens
+        if c.class_token:
+            x_cls = x[:, 0]
+            x_pos = x[:, n_prefix:]
+        else:
+            x_cls = jnp.zeros((B, D), c.dtype)  # reference pads with zeros
+            x_pos = x[:, n_prefix:]
+
+        ret = self._select_features(
+            return_features, x, x_cls, x_pos, final_probs, c
+        )
+
+        attentions = jnp.concatenate(all_stats, axis=2) if all_stats else None
+        magnitudes = jnp.concatenate(all_magn, axis=2) if all_magn else None
+
+        if return_final_attn:
+            return ret, attentions, magnitudes, (final_probs, x)
+        return ret, attentions, magnitudes
+
+    @staticmethod
+    def _select_features(mode, x, x_cls, x_pos, final_probs, c):
+        """Token-level feature selection (models_vit.py:296-390)."""
+        import math
+
+        if mode == "cls":
+            return x_cls
+        if mode == "pos":
+            return x_pos
+        if mode == "gap":
+            return x_pos.mean(axis=1)
+        if mode == "raw":
+            return x
+        if mode == "both":
+            return jnp.concatenate([x_cls[:, None], x_pos], axis=1)
+        if mode.startswith("cp"):
+            cp = int(mode[2:])
+            B, T, D = x_pos.shape
+            hw = int(math.isqrt(T))
+            assert hw * hw == T
+            ctr = hw // 2
+            s, e = ctr - math.ceil(cp / 2), ctr + math.floor(cp / 2)
+            fm = x_pos.reshape(B, hw, hw, D)[:, s:e, s:e]
+            return fm.mean(axis=(1, 2))
+        if mode.startswith("ca"):
+            ca = int(mode[2:])
+            B, T, D = x_pos.shape
+            hw = int(math.isqrt(T))
+            ctr = hw // 2
+            s, e = ctr - math.ceil(ca / 2), ctr + math.floor(ca / 2)
+            attn = final_probs.mean(axis=1)[:, 1:, 1:].reshape(B, hw, hw, hw * hw)
+            attn_ss = attn[:, s:e, s:e].mean(axis=(1, 2))
+            attn_ss = attn_ss / (attn_ss.sum(axis=1, keepdims=True) + 1e-6)
+            return (x_pos * attn_ss[:, :, None].astype(x_pos.dtype)).mean(axis=1)
+        if mode.startswith("attn"):
+            kind = mode.split("attn-")[1]
+            attn = final_probs  # (B,H,T,T)
+            cls_pos = attn[:, :, 0, 1:]  # (B,H,N)
+            if kind == "mn":
+                m = cls_pos.mean(axis=1)[:, :, None]
+                m = m / m.sum(axis=1, keepdims=True)
+                return (m.astype(x_pos.dtype) * x_pos).sum(axis=1)
+            if kind == "lcte":  # lowest class-token entropy head
+                wo = cls_pos / (cls_pos.sum(axis=2, keepdims=True) + 1e-6)
+                ent = -(wo * jnp.log(wo + 1e-6)).sum(axis=2)  # (B,H)
+                idx = ent.argmin(axis=1)
+                sel = jnp.take_along_axis(
+                    cls_pos, idx[:, None, None], axis=1
+                )[:, 0, :, None]
+                sel = sel / sel.sum(axis=1, keepdims=True)
+                return (sel.astype(x_pos.dtype) * x_pos).sum(axis=1)
+            raise NotImplementedError(mode)
+        raise NotImplementedError(mode)
+
+
+# --- size constructors (models_vit.py:429-459) -------------------------------
+
+def _mk(embed_dim, depth, num_heads, patch_size=16, **kw) -> ViTConfig:
+    return ViTConfig(
+        embed_dim=embed_dim, depth=depth, num_heads=num_heads,
+        patch_size=patch_size, **kw,
+    )
+
+
+def vit_tiny_patch16(**kw) -> ViTConfig:
+    return _mk(192, 12, 3, **kw)
+
+
+def vit_small_patch16(**kw) -> ViTConfig:
+    return _mk(384, 12, 6, **kw)
+
+
+def vit_base_patch16(**kw) -> ViTConfig:
+    return _mk(768, 12, 12, **kw)
+
+
+def vit_large_patch16(**kw) -> ViTConfig:
+    return _mk(1024, 24, 16, **kw)
+
+
+def vit_huge_patch14(class_token: bool = True, **kw) -> ViTConfig:
+    return _mk(1280, 32, 16, patch_size=14, class_token=class_token, **kw)
+
+
+def simmim_vit_base_patch16(**kw) -> ViTConfig:
+    """SimMIM pretrained ViT-B: no abs pos-embed, shared rel-pos bias,
+    LayerScale 0.1 (models_simmim.py:430-468)."""
+    return _mk(
+        768, 12, 12, qkv_bias_mode="qv_only", use_abs_pos_emb=False,
+        rel_pos_bias="shared", init_values=0.1, **kw,
+    )
+
+
+VIT_CONFIGS = {
+    "vit_tiny_patch16": vit_tiny_patch16,
+    "vit_small_patch16": vit_small_patch16,
+    "vit_base_patch16": vit_base_patch16,
+    "vit_large_patch16": vit_large_patch16,
+    "vit_huge_patch14": vit_huge_patch14,
+}

@@ -1,0 +1,121 @@
+"""CLIP-style AttentionPool2d and SigLIP-style latent attention pooling.
+
+CLIPAttentionPool2d — reference poolings/clip/attention_pool2d.py:100-169:
+  * LayerNorm(eps 1e-6) on tokens, mean token prepended, learned absolute
+    pos-embed (N+1, D) with trunc_normal(std D^-0.5);
+  * fused QKV (bias, trunc_normal(std D^-0.5) weights, zero bias), 4 heads,
+    output projection; pooled descriptor = token 0.
+  * NOTE: feat_size is fixed at construction (14, or 16 for CAPI;
+    main_linprobe.py:458-471), exactly like the reference.
+
+SigLIPAttentionPool — reference poolings/clip/attention_pool.py:13-132
+(AttentionPoolLatent):
+  * learned latent query (1,1,D) trunc_normal(std D^-0.5), q and fused-kv
+    projections (bias), 8 heads, proj, then a residual MLP (ratio 4, no
+    pre-norm: the default norm_layer is None ⇒ Identity); token 0.
+"""
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from .common import dense, trunc_normal
+
+
+class CLIPAttentionPool2d(nn.Module):
+    in_features: int
+    feat_size: int = 14
+    num_heads: int = 4
+    qkv_bias: bool = True
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, return_attn: bool = False):
+        B, N, d = x.shape
+        D = self.in_features
+        H = self.num_heads
+        head_dim = D // H
+        scale = head_dim ** -0.5
+        spatial = self.feat_size * self.feat_size
+
+        x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(x)
+        x = jnp.concatenate([x.mean(axis=1, keepdims=True), x], axis=1)
+
+        pos = self.param(
+            "pos_embed", trunc_normal(D ** -0.5), (spatial + 1, D), jnp.float32
+        )
+        x = x + pos[None].astype(x.dtype)
+
+        qkv = nn.Dense(
+            3 * D, use_bias=self.qkv_bias, dtype=self.dtype,
+            kernel_init=trunc_normal(D ** -0.5), name="qkv",
+        )(x)
+        qkv = qkv.reshape(B, N + 1, 3, H, head_dim).transpose(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+        logits = jnp.einsum(
+            "bhqc,bhkc->bhqk", q, k, preferred_element_type=jnp.float32
+        ) * scale
+        attn = jax.nn.softmax(logits, axis=-1)
+        out = jnp.einsum(
+            "bhqk,bhkc->bhqc", attn.astype(v.dtype), v,
+            preferred_element_type=jnp.float32,
+        ).astype(v.dtype)
+        out = out.transpose(0, 2, 1, 3).reshape(B, N + 1, D)
+        out = dense(D, dtype=self.dtype, fan_in=D, name="proj")(out)
+        if return_attn:
+            return out[:, 0], attn[:, :, 0, 1:]
+        return out[:, 0]
+
+
+class SigLIPAttentionPool(nn.Module):
+    in_features: int
+    num_heads: int = 8
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    latent_len: int = 1
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, return_attn: bool = False):
+        B, N, C = x.shape
+        H = self.num_heads
+        head_dim = C // H
+        scale = head_dim ** -0.5
+        L = self.latent_len
+
+        latent = self.param(
+            "latent", trunc_normal(C ** -0.5), (1, L, C), jnp.float32
+        ).astype(self.dtype)
+        q = dense(C, use_bias=self.qkv_bias, dtype=self.dtype, fan_in=C,
+                  name="q")(jnp.broadcast_to(latent, (B, L, C)))
+        kv = dense(2 * C, use_bias=self.qkv_bias, dtype=self.dtype, fan_in=C,
+                   name="kv")(x)
+        q = q.reshape(B, L, H, head_dim).transpose(0, 2, 1, 3)
+        kv = kv.reshape(B, N, 2, H, head_dim).transpose(2, 0, 3, 1, 4)
+        k, v = kv[0], kv[1]
+
+        logits = jnp.einsum(
+            "bhqc,bhkc->bhqk", q * scale, k, preferred_element_type=jnp.float32
+        )
+        attn = jax.nn.softmax(logits, axis=-1)
+        out = jnp.einsum(
+            "bhqk,bhkc->bhqc", attn.astype(v.dtype), v,
+            preferred_element_type=jnp.float32,
+        ).astype(v.dtype)
+        out = out.transpose(0, 2, 1, 3).reshape(B, L, C)
+        out = dense(C, dtype=self.dtype, fan_in=C, name="proj")(out)
+
+        # residual MLP without pre-norm (norm_layer default None ⇒ Identity)
+        h = dense(int(C * self.mlp_ratio), dtype=self.dtype, fan_in=C,
+                  name="mlp_fc1")(out)
+        h = nn.gelu(h, approximate=False)
+        h = dense(C, dtype=self.dtype, fan_in=int(C * self.mlp_ratio),
+                  name="mlp_fc2")(h)
+        out = out + h
+        out = out[:, 0]
+        if return_attn:
+            return out, attn
+        return out

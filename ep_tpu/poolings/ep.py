@@ -1,0 +1,74 @@
+"""EP — Efficient Probing (the paper's method).
+
+Exact semantics of reference poolings/ep.py:7-46 (parity traps included):
+  * learned query bank (1, Q, D), init randn*0.02;
+  * keys are the RAW tokens — no key projection;
+  * a single value projection D -> D/d_out (no bias);
+  * single-head attention (Q, N) with scale D^-0.5;
+  * the value tensor is reshaped so query i attends over the i-th
+    D/(d_out·Q)-sized slice of the projected values — the output is the
+    CONCATENATION of per-query slices, size D/d_out (NOT a mean; the
+    reference code wins over its README description);
+  * no output projection.
+
+The compute is expressed as two einsums that XLA maps straight onto the MXU;
+a fused Pallas kernel for the (QKᵀ → softmax → slice-matmul) pipeline lives
+in ep_tpu/ops/pool_attn_pallas.py and is used when shapes allow.
+"""
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from .common import dense, normal
+
+
+class EfficientProbing(nn.Module):
+    dim: int
+    num_heads: int = 1
+    qkv_bias: bool = False
+    num_queries: int = 32
+    d_out: int = 1
+    dtype: Any = jnp.bfloat16
+    use_pallas: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, return_attn: bool = False):
+        B, N, C = x.shape
+        Q = self.num_queries
+        c_prime = C // self.d_out
+        cq = C // (self.d_out * Q)
+        assert cq * self.d_out * Q == C, (
+            f"dim={C} must be divisible by d_out*num_queries={self.d_out * Q}"
+        )
+        scale = (C // self.num_heads) ** -0.5
+
+        queries = self.param(
+            "cls_token", normal(0.02), (1, Q, C), jnp.float32
+        ).astype(self.dtype)
+        v = dense(c_prime, use_bias=self.qkv_bias, dtype=self.dtype, name="v")(x)
+
+        if self.use_pallas and not return_attn:
+            from ep_tpu.ops.pool_attn_pallas import ep_pool_attend
+            out = ep_pool_attend(queries[0] * scale, x, v.reshape(B, N, Q, cq))
+            return out.reshape(B, c_prime)
+
+        # attn[b,q,n] = softmax_n(scale * queries[q] · x[b,n])
+        logits = jnp.einsum(
+            "qc,bnc->bqn", queries[0] * scale, x,
+            preferred_element_type=jnp.float32,
+        )
+        attn = jax.nn.softmax(logits, axis=-1)
+        # query q contracts against its own value slice v[:, :, q, :]
+        vq = v.reshape(B, N, Q, cq)
+        out = jnp.einsum(
+            "bqn,bnqc->bqc", attn.astype(self.dtype), vq,
+            preferred_element_type=jnp.float32,
+        ).astype(self.dtype)
+        out = out.reshape(B, c_prime)
+        if return_attn:
+            return out, attn
+        return out
