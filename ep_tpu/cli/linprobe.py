@@ -1,0 +1,199 @@
+"""Linear/attentive-probe driver — the main_linprobe.py equivalent.
+
+Full experiment lifecycle (reference main_linprobe.py:184-777): mesh setup,
+transforms + dataset dispatch, sharded loaders, backbone build + pretrained
+checkpoint conversion, head grafting, freeze rule, optimizer, resume,
+epoch loop with eval / head-only checkpointing / early stop, and the four
+logging sinks. ``--knn_eval`` and ``--eval`` short-circuit like the reference.
+"""
+from __future__ import annotations
+
+import datetime
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ep_tpu.configs import TrainConfig, get_args_parser, config_from_args
+from ep_tpu.data.datasets import build_datasets
+from ep_tpu.data.loader import build_loaders
+from ep_tpu.data.transforms import build_transforms
+from ep_tpu.models.assembly import build_backbone_config, ProbeModel
+from ep_tpu.parallel.mesh import (init_distributed, make_mesh, is_main_process)
+from ep_tpu.runtime.checkpoint import (find_auto_resume, load_model, save_model)
+from ep_tpu.train.engine import (evaluate, extract_features, knn_classifier,
+                                 train_one_epoch)
+from ep_tpu.train.lars import build_optimizer
+from ep_tpu.train.schedule import make_lr_fn, resolve_lr
+from ep_tpu.train.state import count_params, create_train_state
+from ep_tpu.train.steps import make_eval_step, make_extract_step, make_train_step
+from ep_tpu.utils.logging import (MetricLogger, TrainingLogFile, make_tb_writer,
+                                  maybe_setup_wandb, setup_for_distributed)
+
+
+def main(cfg: TrainConfig) -> dict:
+    init_distributed(cfg)
+    setup_for_distributed(is_main_process())
+
+    log_file = TrainingLogFile(cfg.output_dir)
+    log_file.write_header(cfg)
+
+    print(f"config: {cfg}")
+
+    rng = jax.random.key(cfg.seed + jax.process_index())
+    np.random.seed(cfg.seed + jax.process_index())
+
+    mesh = make_mesh(cfg.mesh_data, cfg.mesh_model)
+
+    # --- data ----------------------------------------------------------------
+    transform_train, transform_val = build_transforms(cfg)
+    dataset_train, dataset_val = build_datasets(cfg)
+    print(dataset_train)
+    print(dataset_val)
+    loader_train, loader_val = build_loaders(
+        cfg, dataset_train, dataset_val, transform_train, transform_val,
+        num_processes=jax.process_count(), process_index=jax.process_index(),
+    )
+
+    eff_batch_size = cfg.batch_size * cfg.accum_iter * jax.process_count()
+    cfg = cfg.replace(eff_batch_size=eff_batch_size)
+
+    if is_main_process() and cfg.output_dir and not cfg.eval and not cfg.knn_eval:
+        maybe_setup_wandb(cfg.output_dir, cfg, job_type="linprobe_v1",
+                          run_name_suffix=cfg.suffix)
+    log_writer = (make_tb_writer(cfg.output_dir)
+                  if not cfg.eval and not cfg.knn_eval else None)
+
+    # --- model ---------------------------------------------------------------
+    backbone_cfg = build_backbone_config(cfg)
+    model = ProbeModel(backbone_cfg, cfg)
+    dummy = jnp.zeros((2, cfg.image_size, cfg.image_size, 3), jnp.float32)
+    variables = model.init(rng, dummy, train=True)
+
+    if cfg.finetune:
+        from ep_tpu.convert.torch_vit import load_pretrained_backbone
+        variables = load_pretrained_backbone(cfg, backbone_cfg, variables)
+
+    tx = build_optimizer(cfg.optimizer, cfg.weight_decay)
+    state = create_train_state(variables, tx, cfg.finetuning)
+    del variables
+
+    n_parameters = count_params(state.trainable)
+    print("number of params (M): %.2f" % (n_parameters / 1.0e6))
+    print("base lr: %.2e" % cfg.blr)
+    print("actual lr: %.2e" % resolve_lr(cfg))
+    print("effective batch size: %d" % eff_batch_size)
+    log_file.write_setup(eff_batch_size, n_parameters)
+
+    # --- resume --------------------------------------------------------------
+    if cfg.auto_resume and not cfg.resume and cfg.output_dir:
+        found = find_auto_resume(cfg.output_dir)
+        if found:
+            cfg = cfg.replace(resume=found)
+            print(f"[auto-resume] Will load {found}")
+        else:
+            print("[auto-resume] No checkpoint found - starting fresh")
+    state, start_epoch, _ = load_model(cfg, state)
+
+    lr_fn = make_lr_fn(cfg, steps_per_epoch=max(len(loader_train), 1))
+    train_step = make_train_step(model, tx, lr_fn, mesh)
+    eval_step = make_eval_step(model, mesh)
+
+    # --- kNN / eval-only modes -------------------------------------------------
+    if cfg.knn_eval:
+        extract_step = make_extract_step(model, mesh)
+        train_feats, train_labels = extract_features(
+            extract_step, state, loader_train, mesh)
+        test_feats, test_labels = extract_features(
+            extract_step, state, loader_val, mesh)
+        print(f"Train features shape: {train_feats.shape}")
+        print(f"Test features shape: {test_feats.shape}")
+        train_feats /= np.linalg.norm(train_feats, axis=1, keepdims=True) + 1e-12
+        test_feats /= np.linalg.norm(test_feats, axis=1, keepdims=True) + 1e-12
+        results = {}
+        for k in [5, 10, 15, 20, 50, 100, 200]:
+            if k > len(train_labels):
+                continue
+            top1, top5 = knn_classifier(
+                train_feats, train_labels, test_feats, test_labels, k,
+                T=cfg.T, num_classes=cfg.nb_classes)
+            print(f"{k}-NN classifier result: Top1: {top1}, Top5: {top5}")
+            results[k] = (top1, top5)
+        return {"knn": results}
+
+    if cfg.eval:
+        test_stats = evaluate(eval_step, state, loader_val, mesh)
+        print(f"Accuracy of the network on the {len(dataset_val)} "
+              f"test images: {test_stats['acc1']:.1f}%")
+        return test_stats
+
+    # --- training loop ---------------------------------------------------------
+    print(f"Start training for {cfg.epochs} epochs")
+    start_time = time.time()
+    max_accuracy = 0.0
+    es_best, es_stale = -1.0, 0
+    test_stats = {"acc1": 0.0, "acc5": 0.0, "loss": float("inf")}
+
+    for epoch in range(start_epoch, cfg.epochs):
+        loader_train.set_epoch(epoch)
+        state, train_stats = train_one_epoch(
+            train_step, state, loader_train, mesh, epoch, cfg, log_writer)
+        test_stats = evaluate(eval_step, state, loader_val, mesh)
+
+        log_stats = {**{f"train_{k}": v for k, v in train_stats.items()},
+                     **{f"test_{k}": v for k, v in test_stats.items()},
+                     "epoch": epoch, "n_parameters": n_parameters}
+        if cfg.output_dir:
+            save_model(cfg, epoch, state, log_stats)
+
+        print(f"Accuracy of the network on the {len(dataset_val)} "
+              f"test images: {test_stats['acc1']:.1f}%")
+        max_accuracy = max(max_accuracy, test_stats["acc1"])
+        print(f"Max accuracy: {max_accuracy:.2f}%")
+
+        log_file.write_epoch(epoch, train_stats, test_stats)
+        if log_writer is not None:
+            pf = f"test_v1_{cfg.cls_features}"
+            log_writer.add_scalar(f"{pf}/train_acc1", train_stats["acc1"], epoch)
+            log_writer.add_scalar(f"{pf}/train_loss", train_stats["loss"], epoch)
+            log_writer.add_scalar(f"{pf}/test_acc1", test_stats["acc1"], epoch)
+            log_writer.add_scalar(f"{pf}/test_acc5", test_stats["acc5"], epoch)
+            log_writer.add_scalar(f"{pf}/test_loss", test_stats["loss"], epoch)
+
+        # early stop on a validation plateau; metrics are already global, so
+        # every process decides identically (main_linprobe.py:731-747)
+        if cfg.early_stop:
+            if test_stats["acc1"] > es_best + cfg.early_stop_min_delta:
+                es_best, es_stale = test_stats["acc1"], 0
+            else:
+                es_stale += 1
+            if (epoch + 1) >= cfg.early_stop_min_epochs and \
+                    es_stale >= cfg.early_stop_patience:
+                msg = (f"[early-stop] no gain > {cfg.early_stop_min_delta} pts "
+                       f"for {es_stale} epochs (best {es_best:.2f}%); "
+                       f"stopping at epoch {epoch} of {cfg.epochs}")
+                print(msg)
+                log_file.write_line(msg)
+                break
+
+    total_time = time.time() - start_time
+    total_time_str = str(datetime.timedelta(seconds=int(total_time)))
+    print(f"Training time {total_time_str}")
+    log_file.write_final(max_accuracy, test_stats, total_time_str)
+    return {"max_accuracy": max_accuracy, **test_stats}
+
+
+def cli():
+    import argparse
+    parser = argparse.ArgumentParser(parents=[get_args_parser()])
+    args = parser.parse_args()
+    cfg = config_from_args(args)
+    if cfg.output_dir:
+        Path(cfg.output_dir).mkdir(parents=True, exist_ok=True)
+    main(cfg)
+
+
+if __name__ == "__main__":
+    cli()

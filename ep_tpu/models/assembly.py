@@ -1,0 +1,92 @@
+"""Backbone + probe-head assembly (the reference's "model assembly" layer,
+main_linprobe.py:338-562, rebuilt functionally).
+
+``ProbeModel`` composes a frozen (or finetunable) backbone with the grafted
+head. In probing mode the backbone output is wrapped in stop_gradient so XLA
+compiles it as a pure inference subgraph — unlike the reference, which runs
+the frozen backbone inside autodiff with requires_grad=False + DDP
+find_unused_parameters (main_linprobe.py:553-562,619).
+"""
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ep_tpu.configs import TrainConfig
+from ep_tpu.poolings.registry import ProbeHead
+from .vit import ViTConfig, VisionTransformer, remap_features, VIT_CONFIGS
+from .vit import simmim_vit_base_patch16
+
+
+def build_backbone_config(cfg: TrainConfig) -> ViTConfig:
+    """Model-name dispatch (main_linprobe.py:338-371)."""
+    import jax.numpy as jnp
+    dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32,
+             "none": jnp.float32, "float16": jnp.bfloat16}[cfg.amp]
+    kw = dict(img_size=cfg.image_size, dtype=dtype)
+    if cfg.simmim:
+        return simmim_vit_base_patch16(**kw)
+    name = cfg.model
+    if name.startswith("capi"):
+        # CAPI ViT-L/14: converted checkpoints run through the generic ViT
+        return VIT_CONFIGS["vit_large_patch16"]().replace(
+            patch_size=14, class_token=False, final_norm="ln", **kw)
+    if name.startswith("dinov2"):
+        size = {"dinov2_vitb14": (768, 12, 12), "dinov2_vitl14": (1024, 24, 16),
+                "dinov2_vits14": (384, 12, 6)}.get(name, (1024, 24, 16))
+        return ViTConfig(
+            embed_dim=size[0], depth=size[1], num_heads=size[2], patch_size=14,
+            init_values=1.0e-5, final_norm="ln", **kw)
+    if name not in VIT_CONFIGS:
+        raise ValueError(f"unknown model {name}")
+    extra = {}
+    if "huge" in name:
+        extra["class_token"] = not cfg.no_cls_token
+    return VIT_CONFIGS[name](**extra).replace(**kw)
+
+
+class ProbeModel(nn.Module):
+    """backbone(features mode) → head(pool, BN, linear)."""
+
+    backbone_cfg: ViTConfig
+    cfg: TrainConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        images: jnp.ndarray,  # (B, H, W, 3) NHWC
+        train: bool = False,
+        return_backbone_features: bool = False,
+        return_attn: bool = False,
+    ):
+        cfg = self.cfg
+        mode = remap_features(cfg.cls_features)
+        feats, _, _ = VisionTransformer(self.backbone_cfg, name="backbone")(
+            images, mode, cfg.return_block
+        )
+        if not cfg.finetuning:
+            feats = jax.lax.stop_gradient(feats)
+        head = ProbeHead(
+            cfg, self.backbone_cfg.embed_dim, self.backbone_cfg.num_patches,
+            dtype=self.backbone_cfg.dtype, name="head",
+        )
+        out = head(feats, train=train, return_attn=return_attn)
+        if return_backbone_features:
+            if return_attn:
+                logits, attn = out
+                return logits, feats, attn
+            return out, feats
+        return out
+
+
+def init_probe_model(cfg: TrainConfig, rng: jax.Array,
+                     backbone_cfg: Optional[ViTConfig] = None):
+    """Initialize the model; returns (model, variables)."""
+    backbone_cfg = backbone_cfg or build_backbone_config(cfg)
+    model = ProbeModel(backbone_cfg, cfg)
+    dummy = jnp.zeros((2, cfg.image_size, cfg.image_size, 3), jnp.float32)
+    variables = model.init(rng, dummy, train=True)
+    return model, variables

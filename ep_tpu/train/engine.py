@@ -1,0 +1,133 @@
+"""Host-side train/eval/extract/kNN loops (engine_finetune.py rebuilt).
+
+The hot math lives in the jitted steps (train/steps.py); these loops feed
+sharded batches, meter already-global metrics, and implement the reference's
+protocol details: per-iteration LR (inside the step), loss-finiteness abort
+(engine_finetune.py:68-70), batch-size-weighted eval meters (:150-153), and
+the chunked kNN classifier (:216-257) on device.
+"""
+from __future__ import annotations
+
+import math
+import sys
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ep_tpu.parallel.mesh import shard_batch
+from ep_tpu.utils.logging import MetricLogger, SmoothedValue
+
+
+def train_one_epoch(train_step, state, loader, mesh, epoch: int, cfg,
+                    log_writer=None) -> tuple:
+    metric_logger = MetricLogger(delimiter="  ")
+    metric_logger.add_meter("lr", SmoothedValue(window_size=1, fmt="{value:.6f}"))
+    header = f"Epoch: [{epoch}]"
+    print_freq = 20
+    length = len(loader)
+
+    for it, (images, labels, _valid) in enumerate(
+            metric_logger.log_every(iter(loader), print_freq, header,
+                                    length=length)):
+        images, labels = shard_batch((images, labels), mesh)
+        state, metrics = train_step(state, images, labels)
+
+        loss_value = float(metrics["loss"])
+        if not math.isfinite(loss_value):
+            print(f"Loss is {loss_value}, stopping training")
+            sys.exit(1)
+
+        metric_logger.update(
+            loss=loss_value,
+            acc1=float(metrics["acc1"]),
+            acc5=float(metrics["acc5"]),
+            lr=float(metrics["lr"]),
+            grad_norm=float(metrics["grad_norm"]),
+        )
+        if log_writer is not None and (it + 1) % cfg.accum_iter == 0:
+            # epoch_1000x x-axis calibration (engine_finetune.py:92-98)
+            epoch_1000x = int((it / length + epoch) * 1000)
+            log_writer.add_scalar("loss", loss_value, epoch_1000x)
+            log_writer.add_scalar("lr", float(metrics["lr"]), epoch_1000x)
+
+    print("Averaged stats:", metric_logger)
+    return state, metric_logger.stats()
+
+
+def evaluate(eval_step, state, loader, mesh) -> Dict[str, float]:
+    metric_logger = MetricLogger(delimiter="  ")
+    header = "Test:"
+    sums = {"loss_sum": 0.0, "acc1_sum": 0.0, "acc5_sum": 0.0, "count": 0.0}
+
+    for images, labels, valid in metric_logger.log_every(
+            iter(loader), 10, header, length=len(loader)):
+        images, labels, valid = shard_batch((images, labels, valid), mesh)
+        batch_sums, _preds = eval_step(state, images, labels, valid)
+        for k in sums:
+            sums[k] += float(batch_sums[k])
+        n = max(float(batch_sums["count"]), 1.0)
+        metric_logger.update_n(
+            int(n),
+            loss=float(batch_sums["loss_sum"]) / n,
+            acc1=float(batch_sums["acc1_sum"]) / n,
+            acc5=float(batch_sums["acc5_sum"]) / n,
+        )
+
+    count = max(sums["count"], 1.0)
+    stats = {
+        "loss": sums["loss_sum"] / count,
+        "acc1": sums["acc1_sum"] / count,
+        "acc5": sums["acc5_sum"] / count,
+    }
+    print("* Acc@1 {:.3f} Acc@5 {:.3f} loss {:.3f}".format(
+        stats["acc1"], stats["acc5"], stats["loss"]))
+    return stats
+
+
+def extract_features(extract_step, state, loader, mesh):
+    """Pooled descriptors + targets over a loader (engine_finetune.py:168-213)."""
+    feats, targets = [], []
+    for images, labels, valid in iter(loader):
+        images = shard_batch(images, mesh)
+        f = np.asarray(jax.device_get(extract_step(state, images)))
+        keep = valid > 0
+        feats.append(f[keep])
+        targets.append(labels[keep])
+    return np.concatenate(feats), np.concatenate(targets)
+
+
+def knn_classifier(train_features, train_labels, test_features, test_labels,
+                   k: int, T: float, num_classes: int = 1000,
+                   num_chunks: int = 500):
+    """Temperature-weighted cosine kNN (engine_finetune.py:216-257), chunked
+    (chunk × N_train) matmuls on device."""
+    train_features = jnp.asarray(train_features)  # (N, D), L2-normalized
+    test_features = jnp.asarray(test_features)
+    train_labels = jnp.asarray(train_labels, jnp.int32)
+
+    n_test = test_features.shape[0]
+    imgs_per_chunk = max(1, n_test // num_chunks)
+
+    @jax.jit
+    def chunk_predict(feats):
+        sim = feats @ train_features.T  # (chunk, N_train)
+        dist, idx = jax.lax.top_k(sim, k)
+        neighbors = train_labels[idx]  # (chunk, k)
+        weights = jnp.exp(dist / T)  # (chunk, k)
+        one_hot = jax.nn.one_hot(neighbors, num_classes)  # (chunk, k, C)
+        probs = (one_hot * weights[:, :, None]).sum(axis=1)
+        order = jnp.argsort(-probs, axis=1)
+        return order[:, :5]
+
+    top1 = top5 = total = 0
+    test_labels = np.asarray(test_labels)
+    for s in range(0, n_test, imgs_per_chunk):
+        e = min(s + imgs_per_chunk, n_test)
+        pred5 = np.asarray(chunk_predict(test_features[s:e]))
+        labels = test_labels[s:e]
+        top1 += (pred5[:, 0] == labels).sum()
+        top5 += (pred5 == labels[:, None]).any(axis=1).sum()
+        total += e - s
+    return top1 * 100.0 / total, top5 * 100.0 / total
