@@ -1,0 +1,86 @@
+#!/usr/bin/env python3
+"""Headline bench: probe-training images/sec/chip, frozen ViT-B/16 + EP head.
+
+Runs the REAL jitted train step (frozen bf16 backbone fwd + EP pooling +
+BN+linear head fwd/bwd + LARS update) on synthetic 224px batches on one chip
+and prints ONE JSON line:
+
+    {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N}
+
+``vs_baseline`` compares against REF_BASELINE_IMG_S — an estimate of the
+PyTorch reference's same-protocol throughput on its published 4-GPU A100
+setup (per GPU). The reference has no published throughput numbers
+(SURVEY.md §6); the estimate assumes fp16 cuDNN ViT-B/16 at ~1300 img/s/GPU
+degraded ~25% by the reference's always-on attention-map materialization
+(models_vit.py:243-269). Our BASELINE.json target is ≥5× at equal top-1.
+"""
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+REF_BASELINE_IMG_S = 1000.0
+
+BATCH = 256
+WARMUP_STEPS = 3
+MEASURE_STEPS = 20
+
+
+def main():
+    from ep_tpu.configs import TrainConfig
+    from ep_tpu.models.assembly import ProbeModel, build_backbone_config
+    from ep_tpu.parallel.mesh import make_mesh, shard_batch
+    from ep_tpu.train.lars import build_optimizer
+    from ep_tpu.train.schedule import make_lr_fn
+    from ep_tpu.train.state import create_train_state
+    from ep_tpu.train.steps import make_train_step
+
+    n_dev = len(jax.devices())
+    cfg = TrainConfig(
+        model="vit_base_patch16", cls_features="ep", ep_queries=32, d_out=1,
+        nb_classes=1000, amp="bfloat16", batch_size=BATCH * n_dev,
+        epochs=90, warmup_epochs=10, blr=0.1,
+        eff_batch_size=BATCH * n_dev, pallas_pool=True,
+    )
+    backbone_cfg = build_backbone_config(cfg)
+    model = ProbeModel(backbone_cfg, cfg)
+    mesh = make_mesh()
+
+    rng = np.random.default_rng(0)
+    images = rng.normal(size=(cfg.batch_size, 224, 224, 3)).astype(np.float32)
+    labels = rng.integers(0, 1000, size=(cfg.batch_size,)).astype(np.int32)
+
+    variables = model.init(jax.random.key(0),
+                           jnp.zeros((2, 224, 224, 3), jnp.float32), train=True)
+    tx = build_optimizer("lars", 0.0)
+    state = create_train_state(variables, tx, finetuning=False)
+    del variables
+
+    train_step = make_train_step(model, tx, make_lr_fn(cfg, 1000), mesh)
+    dimages, dlabels = shard_batch((images, labels), mesh)
+
+    for _ in range(WARMUP_STEPS):
+        state, metrics = train_step(state, dimages, dlabels)
+    jax.block_until_ready(metrics["loss"])
+
+    t0 = time.perf_counter()
+    for _ in range(MEASURE_STEPS):
+        state, metrics = train_step(state, dimages, dlabels)
+    jax.block_until_ready(metrics["loss"])
+    dt = time.perf_counter() - t0
+
+    img_s = MEASURE_STEPS * cfg.batch_size / dt
+    img_s_chip = img_s / n_dev
+    print(json.dumps({
+        "metric": "probe-train images/sec/chip (frozen ViT-B/16 + EP32 head, "
+                  "bf16, bs256)",
+        "value": round(img_s_chip, 1),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(img_s_chip / REF_BASELINE_IMG_S, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -49,13 +49,14 @@ class FakeDataset(ImageDataset):
     def __init__(self, n: int = 256, num_classes: int = 10, image_size: int = 32,
                  seed: int = 0):
         rng = np.random.default_rng(seed)
+        sig_rng = np.random.default_rng(12345)  # class tints shared by splits
+        tints = sig_rng.integers(40, 200, (num_classes, 3))
         items = []
         for i in range(n):
             label = int(i % num_classes)
-            img = rng.integers(0, 64, (image_size, image_size, 3), np.uint8)
-            # class signature: a bright band whose position encodes the class
-            row = (label * image_size) // num_classes
-            img[row:row + max(2, image_size // num_classes)] = 160 + 8 * label
+            img = rng.integers(0, 48, (image_size, image_size, 3), np.uint8)
+            # class signature: a global color tint — survives crops and flips
+            img = (img + tints[label][None, None]).clip(0, 255).astype(np.uint8)
             items.append((img, label))
         super().__init__(items, [str(c) for c in range(num_classes)])
 

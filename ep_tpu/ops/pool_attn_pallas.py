@@ -5,15 +5,14 @@ EP's hot path (poolings/ep.py:37-45 in the reference) is:
     attn   = softmax_N(logits)
     out[q] = attn[q] @ v[:, q, :]      per-query value slice, concat → (C')
 
-One Pallas program per image: tokens, projected values and the query bank are
-staged in VMEM once, attention probabilities never touch HBM, and the
-slice-contraction is computed as a single MXU matmul (Q,N)@(N,Q·cq) followed
-by a block-diagonal mask-reduce — for Q≤64 the "wasted" columns are far
-cheaper than a second HBM round-trip.
+One Pallas program per BB-image batch block: tokens, projected values and the
+query bank are staged in VMEM once, attention probabilities never touch HBM,
+and the slice-contraction is computed as one batched MXU matmul
+(BB,Q,N)@(BB,N,Q·cq) followed by a block-diagonal mask-reduce — for Q≤64 the
+"wasted" columns are far cheaper than a second HBM round-trip.
 
-Falls back transparently: the wrapper pads N to the f32 tile (multiple of 8
-sublanes is enough for the second-to-last dim; we pad to 128 for the lane dim
-of the transposed matmul) and masks padded keys with -inf.
+The wrapper pads N up to the 128-lane tile (padded keys masked to -inf) and
+the batch up to the BB block.
 """
 from __future__ import annotations
 
@@ -25,76 +24,119 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+BB = 8  # images per program (f32 sublane tile)
+
 
 def _ep_kernel(q_ref, x_ref, v_ref, mask_ref, out_ref, *, n_real: int):
-    # q: (Q, C) pre-scaled; x: (1, Np, C); v: (1, Np, QC); out: (1, QC)
+    # q: (Q, C) pre-scaled; x: (BB, Np, C); v: (BB, Np, QC); out: (BB, QC)
     q = q_ref[:].astype(jnp.float32)
-    x = x_ref[0].astype(jnp.float32)
-    v = v_ref[0]
+    x = x_ref[:].astype(jnp.float32)
+    v = v_ref[:]
 
+    # logits[b, q, n] — batched over the BB block
     logits = jax.lax.dot_general(
-        q, x, dimension_numbers=(((1,), (1,)), ((), ())),
+        x, q, dimension_numbers=(((2,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )  # (Q, Np)
-    npad = x.shape[0]
-    key_ok = jax.lax.broadcasted_iota(jnp.int32, (1, npad), 1) < n_real
+    )  # (BB, Np, Q)
+    npad = x.shape[1]
+    key_ok = jax.lax.broadcasted_iota(jnp.int32, (1, npad, 1), 1) < n_real
     logits = jnp.where(key_ok, logits, -jnp.inf)
-    logits = logits - logits.max(axis=-1, keepdims=True)
+    logits = logits - logits.max(axis=1, keepdims=True)
     probs = jnp.exp(logits)
-    probs = probs / probs.sum(axis=-1, keepdims=True)
+    probs = probs / probs.sum(axis=1, keepdims=True)  # softmax over keys (Np)
 
-    full = jnp.dot(
-        probs.astype(v.dtype), v, preferred_element_type=jnp.float32
-    )  # (Q, QC)
+    # full[b, q, :] = probs[b, :, q]ᵀ @ v[b]  — batched (Q, Np) @ (Np, QC)
+    full = jax.lax.dot_general(
+        probs.astype(v.dtype), v,
+        dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # (BB, Q, QC)
     # block-diagonal reduce: row q contributes columns [q*cq, (q+1)*cq)
-    out_ref[0, :] = (full * mask_ref[:]).sum(axis=0).astype(out_ref.dtype)
+    out_ref[:, :] = (full * mask_ref[:][None]).sum(axis=1).astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def ep_pool_attend(
     q_scaled: jnp.ndarray,  # (Q, C), already multiplied by scale
     tokens: jnp.ndarray,  # (B, N, C)
     v: jnp.ndarray,  # (B, N, Q, cq) projected values, per-query slices
     interpret: bool = False,
 ) -> jnp.ndarray:  # (B, Q, cq)
+    return _ep_pool_attend_fwd_only(q_scaled, tokens, v, interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _ep_pool_attend_fwd_only(
+    q_scaled: jnp.ndarray,
+    tokens: jnp.ndarray,
+    v: jnp.ndarray,
+    interpret: bool = False,
+) -> jnp.ndarray:
     B, N, C = tokens.shape
     Q, cq = v.shape[2], v.shape[3]
     QC = Q * cq
 
     n_pad = max(128, ((N + 127) // 128) * 128)
-    if n_pad != N:
-        pad = [(0, 0), (0, n_pad - N), (0, 0)]
-        tokens = jnp.pad(tokens, pad)
-        v = jnp.pad(v, [(0, 0), (0, n_pad - N), (0, 0), (0, 0)])
-    v = v.reshape(B, n_pad, QC)
+    b_pad = ((B + BB - 1) // BB) * BB
+    tokens = jnp.pad(tokens, [(0, b_pad - B), (0, n_pad - N), (0, 0)])
+    v = jnp.pad(v, [(0, b_pad - B), (0, n_pad - N), (0, 0), (0, 0)])
+    v = v.reshape(b_pad, n_pad, QC)
 
     mask = np.zeros((Q, QC), dtype=np.float32)
     for i in range(Q):
         mask[i, i * cq:(i + 1) * cq] = 1.0
-    mask = jnp.asarray(mask)
+    mask = jnp.asarray(mask, tokens.dtype)
 
+    grid = (b_pad // BB,)
     out = pl.pallas_call(
         functools.partial(_ep_kernel, n_real=N),
-        grid=(B,),
+        grid=grid,
         in_specs=[
             pl.BlockSpec((Q, C), lambda b: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_pad, C), lambda b: (b, 0, 0),
+            pl.BlockSpec((BB, n_pad, C), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_pad, QC), lambda b: (b, 0, 0),
+            pl.BlockSpec((BB, n_pad, QC), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((Q, QC), lambda b: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, QC), lambda b: (b, 0),
+        out_specs=pl.BlockSpec((BB, QC), lambda b: (b, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, QC), tokens.dtype),
+        out_shape=jax.ShapeDtypeStruct((b_pad, QC), tokens.dtype),
         cost_estimate=pl.CostEstimate(
-            flops=2 * B * (Q * n_pad * C + Q * n_pad * QC),
-            bytes_accessed=B * n_pad * (C + QC) * tokens.dtype.itemsize,
-            transcendentals=B * Q * n_pad,
+            flops=2 * b_pad * (Q * n_pad * C + Q * n_pad * QC),
+            bytes_accessed=b_pad * n_pad * (C + QC) * tokens.dtype.itemsize,
+            transcendentals=b_pad * Q * n_pad,
         ),
         interpret=interpret,
     )(q_scaled.astype(tokens.dtype), tokens, v, mask)
-    return out.reshape(B, Q, cq)
+    return out[:B].reshape(B, Q, cq)
+
+
+def _ep_fwd(q_scaled, tokens, v, interpret):
+    out = _ep_pool_attend_fwd_only(q_scaled, tokens, v, interpret)
+    return out, (q_scaled, tokens, v)
+
+
+def _ep_bwd(interpret, res, g):
+    """Flash-style backward: recompute attention in XLA (tiny vs the
+    backbone), then the softmax VJP — grads for queries, tokens and values."""
+    q_scaled, tokens, v = res
+    logits = jnp.einsum("qc,bnc->bqn", q_scaled, tokens,
+                        preferred_element_type=jnp.float32)
+    a = jax.nn.softmax(logits, axis=-1)  # (B, Q, N)
+    g32 = g.astype(jnp.float32)
+    v32 = v.astype(jnp.float32)
+    dv = jnp.einsum("bqn,bqc->bnqc", a, g32).astype(v.dtype)
+    da = jnp.einsum("bqc,bnqc->bqn", g32, v32)
+    dl = a * (da - (a * da).sum(axis=-1, keepdims=True))
+    dq = jnp.einsum("bqn,bnc->qc", dl,
+                    tokens.astype(jnp.float32)).astype(q_scaled.dtype)
+    dx = jnp.einsum("bqn,qc->bnc", dl,
+                    q_scaled.astype(jnp.float32)).astype(tokens.dtype)
+    return dq, dx, dv
+
+
+ep_pool_attend.defvjp(_ep_fwd, _ep_bwd)
 
 
 def ep_pool_attend_xla(q_scaled, tokens, v):

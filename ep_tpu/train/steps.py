@@ -29,7 +29,7 @@ def cross_entropy(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
 
 def topk_correct(logits: jnp.ndarray, labels: jnp.ndarray, k: int) -> jnp.ndarray:
     """float (B,) indicator that the label is within the top-k logits."""
-    _, idx = jax.lax.top_k(logits, k)
+    _, idx = jax.lax.top_k(logits, min(k, logits.shape[-1]))
     return (idx == labels[:, None]).any(axis=1).astype(jnp.float32)
 
 

@@ -1,0 +1,89 @@
+"""End-to-end: full probe training on the synthetic dataset over the 8-device
+mesh must beat chance, checkpoint, resume, and early-stop consistently."""
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import ep_tpu.models.assembly as assembly
+from ep_tpu.cli.linprobe import main
+from ep_tpu.configs import TrainConfig
+from ep_tpu.models.vit import ViTConfig
+
+TINY = ViTConfig(img_size=16, patch_size=4, embed_dim=32, depth=2,
+                 num_heads=2, dtype=jnp.float32)
+
+
+@pytest.fixture(autouse=True)
+def tiny_backbone(monkeypatch):
+    monkeypatch.setattr(assembly, "build_backbone_config", lambda cfg: TINY)
+    yield
+
+
+def _cfg(tmp_path, **kw):
+    base = dict(
+        dataset_name="fake", nb_classes=4, image_size=16, batch_size=32,
+        model="vit_tiny_patch16", cls_features="gap", epochs=3,
+        warmup_epochs=1, blr=0.5, output_dir=str(tmp_path), num_workers=2,
+        amp="float32", seed=0,
+    )
+    base.update(kw)
+    return TrainConfig(**base)
+
+
+def test_lp_learns_fake_dataset(tmp_path):
+    """The synthetic dataset is linearly separable from pooled features, so
+    even a random frozen backbone + LP head should beat chance quickly."""
+    res = main(_cfg(tmp_path, cls_features="gap", epochs=5))
+    assert res["max_accuracy"] > 40.0  # chance = 25%
+
+    log = (tmp_path / "training_log.txt").read_text()
+    assert "Epoch, Train Loss, Train Acc1, Val Loss, Val Acc1, Val Acc5" in log
+    assert "Max Accuracy:" in log
+    assert (tmp_path / "checkpoint-.msgpack").exists()
+
+
+def test_ep_head_trains(tmp_path):
+    res = main(_cfg(tmp_path, cls_features="ep", ep_queries=4, d_out=1,
+                    pallas_pool=False, epochs=4))
+    assert res["max_accuracy"] > 40.0
+
+
+def test_resume_continues(tmp_path):
+    main(_cfg(tmp_path, epochs=2))
+    # auto-resume picks up the checkpoint and trains epochs 2..3
+    res = main(_cfg(tmp_path, epochs=4, auto_resume=True))
+    assert "max_accuracy" in res
+    log = (tmp_path / "training_log.txt").read_text()
+    # rewritten header + resumed epochs only
+    lines = [l for l in log.splitlines() if l[:1].isdigit()]
+    assert lines[0].startswith("2,")
+
+
+def test_eval_mode(tmp_path):
+    main(_cfg(tmp_path, epochs=1))
+    res = main(_cfg(tmp_path, eval=True,
+                    resume=str(tmp_path / "checkpoint-.msgpack")))
+    assert "acc1" in res
+
+
+def test_knn_eval(tmp_path):
+    res = main(_cfg(tmp_path, knn_eval=True, cls_features="gap"))
+    assert 5 in res["knn"]
+    top1, top5 = res["knn"][5]
+    assert 0.0 <= top1 <= 100.0 and top1 <= top5 + 1e-6
+
+
+def test_early_stop_triggers(tmp_path):
+    res = main(_cfg(
+        tmp_path, epochs=30, blr=0.0, early_stop=True,
+        early_stop_patience=2, early_stop_min_epochs=3, warmup_epochs=0))
+    log = (tmp_path / "training_log.txt").read_text()
+    assert "[early-stop]" in log
+
+
+def test_finetuning_mode(tmp_path):
+    res = main(_cfg(tmp_path, finetuning=True, optimizer="sgd", blr=0.02,
+                    epochs=2))
+    assert "max_accuracy" in res
