@@ -1,0 +1,99 @@
+"""Data-layer tests: TF-style crop bounds, transforms, loader sharding
+semantics (DistributedSampler contract), val padding masks."""
+import numpy as np
+import pytest
+
+from ep_tpu.configs import TrainConfig
+from ep_tpu.data.datasets import FakeDataset, build_datasets
+from ep_tpu.data.loader import DataLoader
+from ep_tpu.data.transforms import (TrainTransform, ValTransform,
+                                    tf_random_resized_crop_params, normalize,
+                                    IMAGENET_MEAN, IMAGENET_STD)
+
+
+def test_tf_crop_params_in_bounds():
+    rng = np.random.default_rng(0)
+    for _ in range(200):
+        W, H = rng.integers(30, 500, 2)
+        i, j, h, w = tf_random_resized_crop_params(rng, int(W), int(H))
+        assert 0 <= i and i + h <= H
+        assert 0 <= j and j + w <= W
+        assert h >= 1 and w >= 1
+
+
+def test_train_transform_shape_and_range():
+    t = TrainTransform(32)
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 255, (60, 80, 3), np.uint8)
+    out = t(img, rng)
+    assert out.shape == (32, 32, 3)
+    assert out.dtype == np.float32
+    # normalized range sanity
+    assert out.min() > -3.5 and out.max() < 3.5
+
+
+def test_val_transform_resize_centercrop():
+    t = ValTransform(32)  # resize short side to 37, center-crop 32
+    img = np.full((100, 50, 3), 128, np.uint8)
+    out = t(img)
+    assert out.shape == (32, 32, 3)
+    expected = (128 / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
+    np.testing.assert_allclose(out[16, 16], expected, atol=1e-5)
+
+
+def test_loader_shards_cover_dataset():
+    """Union of per-process shards must cover the dataset exactly (with
+    wraparound padding), matching DistributedSampler."""
+    ds = FakeDataset(n=101, num_classes=5, image_size=8)
+    t = ValTransform(8)
+    seen = []
+    for p in range(4):
+        dl = DataLoader(ds, 16, t, shuffle=True, seed=3, num_processes=4,
+                        process_index=p, num_workers=1)
+        dl.set_epoch(2)
+        seen.append(dl._indices())
+    lens = {len(s) for s in seen}
+    assert len(lens) == 1  # identical per-process lengths
+    union = np.concatenate(seen)
+    assert set(union.tolist()) == set(range(101))
+
+
+def test_loader_epoch_reshuffles():
+    ds = FakeDataset(n=64, num_classes=4, image_size=8)
+    dl = DataLoader(ds, 8, ValTransform(8), shuffle=True, seed=0)
+    dl.set_epoch(0)
+    i0 = dl._indices().copy()
+    dl.set_epoch(1)
+    i1 = dl._indices().copy()
+    assert not np.array_equal(i0, i1)
+    dl.set_epoch(0)
+    np.testing.assert_array_equal(dl._indices(), i0)  # deterministic
+
+
+def test_loader_drop_last_and_padding():
+    ds = FakeDataset(n=70, num_classes=4, image_size=8)
+    t = ValTransform(8)
+    train = DataLoader(ds, 32, t, shuffle=True, drop_last=True)
+    assert len(train) == 2
+    val = DataLoader(ds, 32, t, drop_last=False)
+    assert len(val) == 3
+    batches = list(iter(val))
+    imgs, labels, valid = batches[-1]
+    assert imgs.shape == (32, 8, 8, 3)
+    assert valid.sum() == 70 - 64
+    assert (valid[: 70 - 64] == 1).all() and (valid[70 - 64:] == 0).all()
+
+
+def test_fake_dataset_dispatch():
+    cfg = TrainConfig(dataset_name="fake", nb_classes=6, image_size=16)
+    tr, va = build_datasets(cfg)
+    assert len(tr.classes) == 6
+    img, label = tr[0]
+    assert img.shape == (16, 16, 3)
+    assert 0 <= label < 6
+
+
+def test_unknown_dataset_raises():
+    cfg = TrainConfig(dataset_name="nope")
+    with pytest.raises(ValueError):
+        build_datasets(cfg)

@@ -1,0 +1,76 @@
+"""Op-level tests: Pallas EP kernel (interpret mode on CPU) vs XLA reference,
+attention-stat math, schedule/optimizer plumbing."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ep_tpu.ops.attention import attn_stats_from_probs, mha
+from ep_tpu.ops.pool_attn_pallas import ep_pool_attend, ep_pool_attend_xla
+
+
+def test_ep_pallas_matches_xla_interpret(rng):
+    B, N, C, Q = 3, 37, 128, 4  # deliberately unaligned N and B
+    cq = C // Q
+    k1, k2, k3 = jax.random.split(rng, 3)
+    q = jax.random.normal(k1, (Q, C)) * C ** -0.5
+    x = jax.random.normal(k2, (B, N, C))
+    v = jax.random.normal(k3, (B, N, Q, cq))
+    ref = ep_pool_attend_xla(q, x, v)
+    out = ep_pool_attend(q, x, v, True)  # interpret=True on CPU
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+
+def test_ep_pallas_vjp_matches_xla(rng):
+    B, N, C, Q = 2, 17, 64, 4
+    cq = C // Q
+    k1, k2, k3 = jax.random.split(rng, 3)
+    q = jax.random.normal(k1, (Q, C)) * C ** -0.5
+    x = jax.random.normal(k2, (B, N, C))
+    v = jax.random.normal(k3, (B, N, Q, cq))
+
+    def f_p(q, x, v):
+        return (ep_pool_attend(q, x, v, True) ** 2).sum()
+
+    def f_x(q, x, v):
+        return (ep_pool_attend_xla(q, x, v) ** 2).sum()
+
+    gp = jax.grad(f_p, argnums=(0, 1, 2))(q, x, v)
+    gx = jax.grad(f_x, argnums=(0, 1, 2))(q, x, v)
+    for a, b in zip(gp, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-3, rtol=1e-3)
+
+
+def test_mha_softmax_rows(rng):
+    B, H, T, Dh = 2, 3, 8, 16
+    k1, k2, k3 = jax.random.split(rng, 3)
+    q = jax.random.normal(k1, (B, H, T, Dh))
+    k = jax.random.normal(k2, (B, H, T, Dh))
+    v = jax.random.normal(k3, (B, H, T, Dh))
+    out, probs = mha(q, k, v, Dh ** -0.5, return_probs=True)
+    assert out.shape == (B, H, T, Dh)
+    np.testing.assert_allclose(np.asarray(probs.sum(-1)), 1.0, atol=1e-5)
+    # fused path equals capture path
+    out2 = mha(q, k, v, Dh ** -0.5)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out2), atol=1e-6)
+
+
+def test_attn_stats_math(rng):
+    B, H, T = 2, 2, 6
+    logits = jax.random.normal(rng, (B, H, T, T))
+    probs = jax.nn.softmax(logits, axis=-1)
+    stats = attn_stats_from_probs(probs)
+    assert stats.shape == (5, B, 1, H, T)
+    p = np.asarray(probs)
+    # kind 0: diagonal
+    np.testing.assert_allclose(np.asarray(stats[0, :, 0]),
+                               np.einsum("bhtt->bht", p), atol=1e-6)
+    # kind 2/3: cls row / cls column
+    np.testing.assert_allclose(np.asarray(stats[2, :, 0]), p[:, :, 0, :],
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(stats[3, :, 0]), p[:, :, :, 0],
+                               atol=1e-6)
+    # kind 4: renormalized-without-cls entropy, bounded by log(T-1)
+    ent = np.asarray(stats[4])
+    assert (ent >= -1e-5).all() and (ent <= np.log(T - 1) + 0.1).all()

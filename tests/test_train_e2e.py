@@ -25,7 +25,7 @@ def _cfg(tmp_path, **kw):
     base = dict(
         dataset_name="fake", nb_classes=4, image_size=16, batch_size=32,
         model="vit_tiny_patch16", cls_features="gap", epochs=3,
-        warmup_epochs=1, blr=0.5, output_dir=str(tmp_path), num_workers=2,
+        warmup_epochs=1, blr=4.0, output_dir=str(tmp_path), num_workers=2,
         amp="float32", seed=0,
     )
     base.update(kw)
