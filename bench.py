@@ -63,12 +63,14 @@ def main():
 
     for _ in range(WARMUP_STEPS):
         state, metrics = train_step(state, dimages, dlabels)
-    jax.block_until_ready(metrics["loss"])
+    float(jax.device_get(metrics["loss"]))  # hard sync (tunnelled platform)
 
     t0 = time.perf_counter()
     for _ in range(MEASURE_STEPS):
         state, metrics = train_step(state, dimages, dlabels)
-    jax.block_until_ready(metrics["loss"])
+    # device_get forces the whole sequential step chain to finish;
+    # block_until_ready can return early through the axon relay
+    float(jax.device_get(metrics["loss"]))
     dt = time.perf_counter() - t0
 
     img_s = MEASURE_STEPS * cfg.batch_size / dt

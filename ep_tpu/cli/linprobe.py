@@ -101,6 +101,44 @@ def main(cfg: TrainConfig) -> dict:
     train_step = make_train_step(model, tx, lr_fn, mesh)
     eval_step = make_eval_step(model, mesh)
 
+    # --- feature-cache fast path (our extension; SURVEY.md §7 decision 1) -----
+    if cfg.cache_features and not cfg.finetuning and not cfg.eval \
+            and not cfg.knn_eval:
+        from ep_tpu.data.loader import DataLoader
+        from ep_tpu.models.vit import VisionTransformer, remap_features
+        from ep_tpu.poolings.registry import ProbeHead
+        from ep_tpu.train.feature_cache import (CachedFeatureLoader,
+                                                extract_split, make_head_steps)
+
+        mode = remap_features(cfg.cls_features)
+        backbone = VisionTransformer(backbone_cfg)
+        bb_params = {"params": state.frozen["backbone"]}
+
+        @jax.jit
+        def backbone_apply(images):
+            feats, _, _ = backbone.apply(bb_params, images, mode,
+                                         cfg.return_block)
+            return feats
+
+        print("[cache] extracting frozen features (train + val, one pass)")
+        ex_train = DataLoader(dataset_train, cfg.batch_size, transform_train,
+                              shuffle=False, drop_last=False,
+                              num_workers=cfg.num_workers)
+        feats_tr, labels_tr = extract_split(
+            backbone_apply, ex_train, mesh, cfg.output_dir, "train")
+        feats_va, labels_va = extract_split(
+            backbone_apply, loader_val, mesh, cfg.output_dir, "val")
+        print(f"[cache] train {feats_tr.shape} val {feats_va.shape}")
+        loader_train = CachedFeatureLoader(feats_tr, labels_tr, cfg.batch_size,
+                                           shuffle=True, drop_last=True,
+                                           seed=cfg.seed)
+        loader_val = CachedFeatureLoader(feats_va, labels_va, cfg.batch_size,
+                                         shuffle=False, drop_last=False)
+        head = ProbeHead(cfg, backbone_cfg.embed_dim,
+                         backbone_cfg.num_patches, dtype=backbone_cfg.dtype)
+        lr_fn = make_lr_fn(cfg, steps_per_epoch=max(len(loader_train), 1))
+        train_step, eval_step = make_head_steps(head, mesh, tx, lr_fn)
+
     # --- kNN / eval-only modes -------------------------------------------------
     if cfg.knn_eval:
         extract_step = make_extract_step(model, mesh)

@@ -43,8 +43,9 @@ def tf_random_resized_crop_params(
 
 
 def normalize(img: np.ndarray) -> np.ndarray:
-    """uint8 (H,W,3) -> float32 normalized."""
-    return (img.astype(np.float32) / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
+    """uint8 (H,W,3) -> float32 normalized (fused native pass when built)."""
+    from ep_tpu.data import _native
+    return _native.normalize_u8(img, IMAGENET_MEAN, IMAGENET_STD)
 
 
 class TrainTransform:
@@ -60,19 +61,28 @@ class TrainTransform:
         self.hflip = hflip
 
     def __call__(self, img, rng: np.random.Generator) -> np.ndarray:
-        if isinstance(img, np.ndarray):
-            img = Image.fromarray(img)
-        img = img.convert("RGB")
-        w, h = img.size
-        i, j, hh, ww = tf_random_resized_crop_params(rng, w, h, self.scale,
-                                                     self.ratio)
+        from ep_tpu.data import _native
         s = self.image_size
-        img = img.resize((s, s), BICUBIC, box=(j, i, j + ww, i + hh))
-        arr = np.asarray(img)
+        if isinstance(img, np.ndarray) and _native.available():
+            # native fast path: crop+bicubic resize fused, no PIL round trip
+            h, w = img.shape[:2]
+            i, j, hh, ww = tf_random_resized_crop_params(
+                rng, w, h, self.scale, self.ratio)
+            arr = _native.resize_bicubic_crop_u8(img, (i, j, hh, ww), s)
+        else:
+            if isinstance(img, np.ndarray):
+                img = Image.fromarray(img)
+            img = img.convert("RGB")
+            w, h = img.size
+            i, j, hh, ww = tf_random_resized_crop_params(
+                rng, w, h, self.scale, self.ratio)
+            img = img.resize((s, s), BICUBIC, box=(j, i, j + ww, i + hh))
+            arr = np.asarray(img)
         if self.hflip and rng.random() < 0.5:
             arr = arr[:, ::-1]
         if self.color_jitter > 0:
-            arr = _color_jitter(arr, rng, self.color_jitter)
+            arr = _color_jitter(np.ascontiguousarray(arr), rng,
+                                self.color_jitter)
         return normalize(arr)
 
 

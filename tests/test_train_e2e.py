@@ -83,6 +83,13 @@ def test_early_stop_triggers(tmp_path):
     assert "[early-stop]" in log
 
 
+def test_feature_cache_mode(tmp_path):
+    """--cache_features: one backbone pass, then head-only training; must
+    reach comparable accuracy to the no-cache run."""
+    res = main(_cfg(tmp_path, cache_features=True, epochs=5))
+    assert res["max_accuracy"] > 40.0
+
+
 def test_finetuning_mode(tmp_path):
     res = main(_cfg(tmp_path, finetuning=True, optimizer="sgd", blr=0.02,
                     epochs=2))
