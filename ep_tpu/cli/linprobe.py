@@ -77,6 +77,12 @@ def main(cfg: TrainConfig) -> dict:
         variables = load_pretrained_backbone(cfg, backbone_cfg, variables)
 
     tx = build_optimizer(cfg.optimizer, cfg.weight_decay)
+    if cfg.accum_iter > 1:
+        # gradient accumulation (engine_finetune.py:72-77): grads average
+        # over accum_iter microsteps, the parameter update fires at the
+        # boundary (optax.MultiSteps emits zero updates in between)
+        import optax
+        tx = optax.MultiSteps(tx, every_k_schedule=cfg.accum_iter)
     state = create_train_state(variables, tx, cfg.finetuning)
     del variables
 

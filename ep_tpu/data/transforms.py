@@ -53,12 +53,13 @@ class TrainTransform:
 
     def __init__(self, image_size: int = 224, scale=(0.08, 1.0),
                  ratio=(3.0 / 4.0, 4.0 / 3.0), color_jitter: float = 0.0,
-                 hflip: bool = True):
+                 hflip: bool = True, autoaugment: bool = False):
         self.image_size = image_size
         self.scale = scale
         self.ratio = ratio
         self.color_jitter = color_jitter
         self.hflip = hflip
+        self.autoaugment = autoaugment
 
     def __call__(self, img, rng: np.random.Generator) -> np.ndarray:
         from ep_tpu.data import _native
@@ -83,6 +84,9 @@ class TrainTransform:
         if self.color_jitter > 0:
             arr = _color_jitter(np.ascontiguousarray(arr), rng,
                                 self.color_jitter)
+        if self.autoaugment:
+            from .autoaugment import autoaugment_imagenet
+            arr = autoaugment_imagenet(np.ascontiguousarray(arr), rng)
         return normalize(arr)
 
 
@@ -129,7 +133,8 @@ def build_transforms(cfg):
     """Train/val transform pair from a TrainConfig (main_linprobe.py:210-237)."""
     if cfg.train_aug == "aimv2":
         train = TrainTransform(cfg.image_size, scale=(0.08, 1.0),
-                               ratio=(0.75, 1.33), color_jitter=0.3)
+                               ratio=(0.75, 1.33), color_jitter=0.3,
+                               autoaugment=True)
     else:
         train = TrainTransform(cfg.image_size)
     val = ValTransform(cfg.image_size)

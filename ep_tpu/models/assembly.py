@@ -64,9 +64,31 @@ class ProbeModel(nn.Module):
     ):
         cfg = self.cfg
         mode = remap_features(cfg.cls_features)
-        feats, _, _ = VisionTransformer(self.backbone_cfg, name="backbone")(
-            images, mode, cfg.return_block
-        )
+
+        if mode == "dino":
+            # oracle-weighted pooling (models_vit.py:350-363): patch tokens of
+            # the probed backbone weighted by a frozen DINO teacher's final
+            # cls→patch attention. Oracle weights come from the converter
+            # (timm vit_base_patch16_224.dino); random init otherwise.
+            raw, _, _ = VisionTransformer(self.backbone_cfg, name="backbone")(
+                images, "raw", cfg.return_block)
+            fm = raw[:, self.backbone_cfg.num_prefix_tokens:]
+            oracle_cfg = self.backbone_cfg.replace(
+                init_values=None, rel_pos_bias="none", use_abs_pos_emb=True,
+                qkv_bias_mode="full", class_token=True, reg_tokens=0)
+            if self.backbone_cfg.embed_dim >= 384:  # real runs: DINO ViT-B/16
+                oracle_cfg = oracle_cfg.replace(
+                    embed_dim=768, depth=12, num_heads=12, patch_size=16)
+            _, _, _, (d_attn, _) = VisionTransformer(
+                oracle_cfg, name="oracle")(images, "cls",
+                                           return_final_attn=True)
+            d_attn = jax.lax.stop_gradient(d_attn[:, :, 0, 1:])  # (B, H, N)
+            feats = (fm[:, None] * d_attn[..., None].astype(fm.dtype)
+                     ).mean(axis=(1, 2))
+        else:
+            feats, _, _ = VisionTransformer(
+                self.backbone_cfg, name="backbone")(
+                images, mode, cfg.return_block)
         if not cfg.finetuning:
             feats = jax.lax.stop_gradient(feats)
         head = ProbeHead(

@@ -56,8 +56,7 @@ class AttnStats(NamedTuple):
 def attn_stats_from_probs(probs: jnp.ndarray) -> jnp.ndarray:
     """Compute the 5-kind attention stat stack from (B,H,T,T) probabilities."""
     B, H, T, _ = probs.shape
-    eye = jnp.eye(T, dtype=bool)
-    attn_diag = probs[:, :, eye]  # (B,H,T) self-attention of each token
+    attn_diag = jnp.diagonal(probs, axis1=2, axis2=3)  # (B,H,T) self-attn
     cls_all_attn = probs[:, :, 0, :]  # cls -> all
     all_cls_attn = probs[:, :, :, 0]  # all -> cls
 
@@ -67,7 +66,7 @@ def attn_stats_from_probs(probs: jnp.ndarray) -> jnp.ndarray:
     entropy = -(attn_wo_cls * jnp.log(attn_wo_cls + 1e-6)).sum(axis=3)
 
     attn_adj = probs / (denom + 1e-6)
-    attn_diag_adj = attn_adj[:, :, eye]
+    attn_diag_adj = jnp.diagonal(attn_adj, axis1=2, axis2=3)
 
     stats = jnp.stack(
         [attn_diag, attn_diag_adj, cls_all_attn, all_cls_attn, entropy]

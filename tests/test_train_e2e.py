@@ -94,3 +94,13 @@ def test_finetuning_mode(tmp_path):
     res = main(_cfg(tmp_path, finetuning=True, optimizer="sgd", blr=0.02,
                     epochs=2))
     assert "max_accuracy" in res
+
+
+def test_accum_iter(tmp_path):
+    res = main(_cfg(tmp_path, accum_iter=2, batch_size=16, epochs=3))
+    assert "max_accuracy" in res
+
+
+def test_dino_oracle_mode(tmp_path):
+    res = main(_cfg(tmp_path, cls_features="dino", epochs=2))
+    assert "max_accuracy" in res
