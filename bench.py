@@ -61,16 +61,22 @@ def main():
     train_step = make_train_step(model, tx, make_lr_fn(cfg, 1000), mesh)
     dimages, dlabels = shard_batch((images, labels), mesh)
 
-    for _ in range(WARMUP_STEPS):
-        state, metrics = train_step(state, dimages, dlabels)
-    float(jax.device_get(metrics["loss"]))  # hard sync (tunnelled platform)
+    # K steps inside one jitted lax.scan: a single dispatch, so host↔device
+    # round-trips (large through the axon relay) don't pollute the timing
+    def k_steps(state):
+        def body(s, _):
+            s, m = train_step.raw(s, dimages, dlabels)
+            return s, m["loss"]
+        return jax.lax.scan(body, state, None, length=MEASURE_STEPS)
+
+    k_steps_jit = jax.jit(k_steps, donate_argnums=(0,))
+
+    state, losses = k_steps_jit(state)  # compile + warm up
+    float(jax.device_get(losses[-1]))
 
     t0 = time.perf_counter()
-    for _ in range(MEASURE_STEPS):
-        state, metrics = train_step(state, dimages, dlabels)
-    # device_get forces the whole sequential step chain to finish;
-    # block_until_ready can return early through the axon relay
-    float(jax.device_get(metrics["loss"]))
+    state, losses = k_steps_jit(state)
+    float(jax.device_get(losses[-1]))
     dt = time.perf_counter() - t0
 
     img_s = MEASURE_STEPS * cfg.batch_size / dt

@@ -180,10 +180,12 @@ def main(cfg: TrainConfig) -> dict:
     es_best, es_stale = -1.0, 0
     test_stats = {"acc1": 0.0, "acc5": 0.0, "loss": float("inf")}
 
+    from ep_tpu.runtime.profiler import trace
     for epoch in range(start_epoch, cfg.epochs):
         loader_train.set_epoch(epoch)
-        state, train_stats = train_one_epoch(
-            train_step, state, loader_train, mesh, epoch, cfg, log_writer)
+        with trace(cfg.profile_dir if epoch == start_epoch else ""):
+            state, train_stats = train_one_epoch(
+                train_step, state, loader_train, mesh, epoch, cfg, log_writer)
         test_stats = evaluate(eval_step, state, loader_val, mesh)
 
         log_stats = {**{f"train_{k}": v for k, v in train_stats.items()},

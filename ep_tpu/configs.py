@@ -25,7 +25,12 @@ CLS_FT_CHOICES = (
      "cp1", "cp2", "cp3", "cp4",
      "ca1", "ca2", "ca3", "ca4",
      "dino",
-     "attn-lcte", "attn-mn"]
+     "attn-lcte", "attn-mn",
+     # accepted for CLI parity; unimplemented in the reference's
+     # forward_features too (models_vit.py lists them at :23-26 but has no
+     # branch — they raise NotImplementedError there as here)
+     "tcut-bip", "tcut-bip-f", "tcut-eig", "tcut-eig-f",
+     "tcut-eigbip", "tcut-eigbip-f", "tcut-eigsft", "tcut-eigsft-f"]
     + POOLING_NAMES
     + POOLING_NAMES_ALL
 )

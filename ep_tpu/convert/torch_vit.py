@@ -161,16 +161,34 @@ def torch_vit_to_flax(sd: Dict[str, np.ndarray], template: Dict[str, Any],
 
 def load_pretrained_backbone(cfg, backbone_cfg, variables):
     """Load cfg.finetune into variables['params']['backbone'] in place of the
-    random init (main_linprobe.py:373-411)."""
+    random init (main_linprobe.py:373-411). Accepts either a torch .pth or an
+    ep_tpu msgpack produced by tools/convert_checkpoint.py."""
     path = cfg.finetune
     if not Path(path).exists():
         raise FileNotFoundError(
             f"--finetune {path}: timm-hub name resolution needs network "
             f"access; convert the checkpoint to a local .pth first")
     print(f"Interpreting {path} as path")
-    sd = load_torch_state_dict(path, cfg.checkpoint_key)
-    backbone = torch_vit_to_flax(sd, variables["params"]["backbone"],
-                                 backbone_cfg)
+
+    backbone = _try_msgpack(path, variables["params"]["backbone"])
+    if backbone is None:
+        sd = load_torch_state_dict(path, cfg.checkpoint_key)
+        backbone = torch_vit_to_flax(sd, variables["params"]["backbone"],
+                                     backbone_cfg)
     new_params = dict(variables["params"])
     new_params["backbone"] = backbone
     return {**variables, "params": new_params}
+
+
+def _try_msgpack(path: str, template):
+    """Restore an already-converted flax backbone checkpoint, or None."""
+    import flax.serialization as fser
+    try:
+        with open(path, "rb") as f:
+            payload = fser.msgpack_restore(f.read())
+    except Exception:
+        return None
+    if not isinstance(payload, dict) or "backbone" not in payload:
+        return None
+    print("[convert] loading pre-converted flax backbone checkpoint")
+    return fser.from_state_dict(template, payload["backbone"])

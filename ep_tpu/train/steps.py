@@ -89,7 +89,9 @@ def make_train_step(
         )
         return new_state, metrics
 
-    return jax.jit(train_step, donate_argnums=(0,))
+    jitted = jax.jit(train_step, donate_argnums=(0,))
+    jitted.raw = train_step  # unjitted body, composable into lax.scan loops
+    return jitted
 
 
 def make_eval_step(model, mesh: Mesh):
