@@ -23,9 +23,14 @@ import numpy as np
 
 REF_BASELINE_IMG_S = 1000.0
 
+import sys
+
 BATCH = 256
-WARMUP_STEPS = 3
-MEASURE_STEPS = 20
+MEASURE_STEPS = 10
+
+
+def _log(msg):
+    print(f"[bench] {msg}", file=sys.stderr, flush=True)
 
 
 def main():
@@ -61,26 +66,26 @@ def main():
     train_step = make_train_step(model, tx, make_lr_fn(cfg, 1000), mesh)
     dimages, dlabels = shard_batch((images, labels), mesh)
 
-    # K steps inside one jitted lax.scan: a single dispatch, so host↔device
-    # round-trips (large through the axon relay) don't pollute the timing
-    def k_steps(state):
-        def body(s, _):
-            s, m = train_step.raw(s, dimages, dlabels)
-            return s, m["loss"]
-        return jax.lax.scan(body, state, None, length=MEASURE_STEPS)
-
-    k_steps_jit = jax.jit(k_steps, donate_argnums=(0,))
-
-    state, losses = k_steps_jit(state)  # compile + warm up
-    float(jax.device_get(losses[-1]))
-
+    _log("compiling train step ...")
     t0 = time.perf_counter()
-    state, losses = k_steps_jit(state)
-    float(jax.device_get(losses[-1]))
-    dt = time.perf_counter() - t0
+    for _ in range(2):  # compile + warm up
+        state, metrics = train_step(state, dimages, dlabels)
+        float(jax.device_get(metrics["loss"]))
+    _log(f"compile+warmup took {time.perf_counter() - t0:.1f}s")
 
-    img_s = MEASURE_STEPS * cfg.batch_size / dt
-    img_s_chip = img_s / n_dev
+    # per-step wall time with a hard device sync each step (median of K).
+    # Conservative: includes the host dispatch round-trip, which on this
+    # tunnelled single-chip setup is a real per-step cost.
+    times = []
+    for _ in range(MEASURE_STEPS):
+        t0 = time.perf_counter()
+        state, metrics = train_step(state, dimages, dlabels)
+        float(jax.device_get(metrics["loss"]))
+        times.append(time.perf_counter() - t0)
+    step_t = float(np.median(times))
+    _log(f"median step {step_t * 1000:.1f} ms over {MEASURE_STEPS} steps")
+
+    img_s_chip = cfg.batch_size / step_t / n_dev
     print(json.dumps({
         "metric": "probe-train images/sec/chip (frozen ViT-B/16 + EP32 head, "
                   "bf16, bs256)",
