@@ -168,7 +168,7 @@ def main(cfg: TrainConfig) -> dict:
         return {"knn": results}
 
     if cfg.eval:
-        test_stats = evaluate(eval_step, state, loader_val, mesh)
+        test_stats = evaluate(eval_step, state, loader_val, mesh, cfg)
         print(f"Accuracy of the network on the {len(dataset_val)} "
               f"test images: {test_stats['acc1']:.1f}%")
         return test_stats
@@ -186,7 +186,7 @@ def main(cfg: TrainConfig) -> dict:
         with trace(cfg.profile_dir if epoch == start_epoch else ""):
             state, train_stats = train_one_epoch(
                 train_step, state, loader_train, mesh, epoch, cfg, log_writer)
-        test_stats = evaluate(eval_step, state, loader_val, mesh)
+        test_stats = evaluate(eval_step, state, loader_val, mesh, cfg)
 
         log_stats = {**{f"train_{k}": v for k, v in train_stats.items()},
                      **{f"test_{k}": v for k, v in test_stats.items()},

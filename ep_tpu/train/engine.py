@@ -20,6 +20,16 @@ from ep_tpu.parallel.mesh import shard_batch
 from ep_tpu.utils.logging import MetricLogger, SmoothedValue
 
 
+def _host_cast(images: np.ndarray, cfg) -> np.ndarray:
+    """Cast images to bf16 on the host when the model computes in bf16 —
+    halves host→device transfer bandwidth, which is the input-pipeline
+    bottleneck on thin links."""
+    if cfg is not None and cfg.amp in ("bfloat16", "float16"):
+        import ml_dtypes
+        return images.astype(ml_dtypes.bfloat16)
+    return images
+
+
 def train_one_epoch(train_step, state, loader, mesh, epoch: int, cfg,
                     log_writer=None) -> tuple:
     metric_logger = MetricLogger(delimiter="  ")
@@ -28,42 +38,57 @@ def train_one_epoch(train_step, state, loader, mesh, epoch: int, cfg,
     print_freq = 20
     length = len(loader)
 
-    for it, (images, labels, _valid) in enumerate(
-            metric_logger.log_every(iter(loader), print_freq, header,
-                                    length=length)):
-        images, labels = shard_batch((images, labels), mesh)
-        state, metrics = train_step(state, images, labels)
+    # Metrics are materialized with a one-step lag so the host never blocks
+    # the device pipeline on the current step's results (the reference
+    # torch.cuda.synchronize()s every step, engine_finetune.py:79-80 — a
+    # stall we deliberately avoid). The NaN abort therefore fires one step
+    # late, which changes nothing observable.
+    pending = None  # (it, metrics) from the previous step
 
-        loss_value = float(metrics["loss"])
+    def drain(entry):
+        it_prev, m = entry
+        loss_value = float(m["loss"])
         if not math.isfinite(loss_value):
             print(f"Loss is {loss_value}, stopping training")
             sys.exit(1)
-
         metric_logger.update(
             loss=loss_value,
-            acc1=float(metrics["acc1"]),
-            acc5=float(metrics["acc5"]),
-            lr=float(metrics["lr"]),
-            grad_norm=float(metrics["grad_norm"]),
+            acc1=float(m["acc1"]),
+            acc5=float(m["acc5"]),
+            lr=float(m["lr"]),
+            grad_norm=float(m["grad_norm"]),
         )
-        if log_writer is not None and (it + 1) % cfg.accum_iter == 0:
+        if log_writer is not None and (it_prev + 1) % cfg.accum_iter == 0:
             # epoch_1000x x-axis calibration (engine_finetune.py:92-98)
-            epoch_1000x = int((it / length + epoch) * 1000)
+            epoch_1000x = int((it_prev / length + epoch) * 1000)
             log_writer.add_scalar("loss", loss_value, epoch_1000x)
-            log_writer.add_scalar("lr", float(metrics["lr"]), epoch_1000x)
+            log_writer.add_scalar("lr", float(m["lr"]), epoch_1000x)
+
+    for it, (images, labels, _valid) in enumerate(
+            metric_logger.log_every(iter(loader), print_freq, header,
+                                    length=length)):
+        images, labels = shard_batch((_host_cast(images, cfg), labels), mesh)
+        state, metrics = train_step(state, images, labels)
+        if pending is not None:
+            drain(pending)
+        pending = (it, metrics)
+
+    if pending is not None:
+        drain(pending)
 
     print("Averaged stats:", metric_logger)
     return state, metric_logger.stats()
 
 
-def evaluate(eval_step, state, loader, mesh) -> Dict[str, float]:
+def evaluate(eval_step, state, loader, mesh, cfg=None) -> Dict[str, float]:
     metric_logger = MetricLogger(delimiter="  ")
     header = "Test:"
     sums = {"loss_sum": 0.0, "acc1_sum": 0.0, "acc5_sum": 0.0, "count": 0.0}
 
     for images, labels, valid in metric_logger.log_every(
             iter(loader), 10, header, length=len(loader)):
-        images, labels, valid = shard_batch((images, labels, valid), mesh)
+        images, labels, valid = shard_batch(
+            (_host_cast(images, cfg), labels, valid), mesh)
         batch_sums, _preds = eval_step(state, images, labels, valid)
         for k in sums:
             sums[k] += float(batch_sums[k])
