@@ -261,6 +261,8 @@ class VisionTransformer(nn.Module):
         return_features: str = "cls",
         return_block: Optional[int] = None,
         *,
+        shuffle_subsets: int = 1,
+        shuffle_rng: Optional[jax.Array] = None,
         attn_temperature: float = 1.0,
         capture_stats: bool = False,
         return_final_attn: bool = False,
@@ -299,6 +301,27 @@ class VisionTransformer(nn.Module):
                 pos = interpolate_pos_embed(pos, N, c.num_prefix_tokens)
             x = x + pos.astype(c.dtype)
 
+        # --- token shuffling into subsets (models_vit.py:224-239) ------------
+        # partition the N patch tokens into `shuffle_subsets` random groups
+        # processed as extra batch; with subsets=1 (the reference's only used
+        # value, models_vit.py:419) this is the identity and costs nothing.
+        ss = shuffle_subsets
+        if ss > 1:
+            assert N % ss == 0, f"{N=} not divisible by {ss=}"
+            assert return_features in ("cls", "pos", "gap")
+            assert c.rel_pos_bias == "none", "subsets break the rel-pos grid"
+            n_pre = c.num_prefix_tokens
+            x_pre, x_pos = x[:, :n_pre], x[:, n_pre:]
+            if shuffle_rng is None:
+                shuffle_rng = self.make_rng("shuffle")
+            noise = jax.random.uniform(shuffle_rng, (B, N))
+            ids = jnp.argsort(noise, axis=1)
+            x_pos = jnp.take_along_axis(x_pos, ids[:, :, None], axis=1)
+            x_pos = x_pos.reshape(B, ss, N // ss, D)
+            x_pre = jnp.broadcast_to(x_pre[:, None], (B, ss, n_pre, D))
+            x = jnp.concatenate([x_pre, x_pos], axis=2)
+            x = x.reshape(B * ss, n_pre + N // ss, D)
+
         rel_bias = None
         if c.rel_pos_bias == "shared":
             rel_bias = RelPosBias(
@@ -333,6 +356,21 @@ class VisionTransformer(nn.Module):
 
         if c.final_norm == "ln":
             x = nn.LayerNorm(epsilon=c.norm_eps, dtype=c.dtype, name="norm")(x)
+
+        if ss > 1:
+            # un-fold subsets; shapes follow the reference's squeeze semantics
+            # (models_vit.py:275-302): cls (B,ss,D); pos (B,ss,N/ss,D);
+            # gap = mean over the SUBSET axis → (B, N/ss, D)
+            n_pre = c.num_prefix_tokens
+            xs = x.reshape(B, ss, n_pre + N // ss, D)
+            x_cls = (xs[:, :, 0] if c.class_token
+                     else jnp.zeros((B, ss, D), c.dtype))
+            x_pos = xs[:, :, n_pre:]
+            if return_features == "cls":
+                return x_cls, None, None
+            if return_features == "pos":
+                return x_pos, None, None
+            return x_pos.mean(axis=1), None, None  # "gap"
 
         n_prefix = c.num_prefix_tokens
         if c.class_token:

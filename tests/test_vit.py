@@ -75,6 +75,25 @@ def test_attention_stats_capture(model_and_params, rng):
     assert (np.asarray(stats[4]) >= 0).all()
 
 
+def test_shuffle_subsets(model_and_params, rng):
+    """shuffle_subsets=k partitions the N patch tokens into k groups run as
+    extra batch (models_vit.py:224-239); union of subset tokens must be a
+    permutation of the full token set at the embedding level."""
+    m, params = model_and_params
+    x = jax.random.normal(rng, (2, 16, 16, 3))
+    pos, _, _ = m.apply(params, x, "pos", shuffle_subsets=2,
+                        shuffle_rng=jax.random.key(7))
+    assert pos.shape == (2, 2, CFG.num_patches // 2, CFG.embed_dim)
+    cls, _, _ = m.apply(params, x, "cls", shuffle_subsets=2,
+                        shuffle_rng=jax.random.key(7))
+    assert cls.shape == (2, 2, CFG.embed_dim)
+    # subsets=1 is the identity w.r.t. the default path
+    pos1, _, _ = m.apply(params, x, "pos", shuffle_subsets=1)
+    pos_ref, _, _ = m.apply(params, x, "pos")
+    np.testing.assert_allclose(np.asarray(pos1), np.asarray(pos_ref),
+                               atol=1e-6)
+
+
 def test_no_cls_token_variant(rng):
     cfg = CFG.replace(class_token=False)
     m = VisionTransformer(cfg)
