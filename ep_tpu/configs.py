@@ -132,6 +132,8 @@ class TrainConfig:
     mesh_model: int = 1  # tensor-parallel axis size for huge backbones
     cache_features: bool = False  # extract frozen features once, train on cache
     pallas_pool: bool = True  # use the fused Pallas pooling kernel when it applies
+    attn_impl: str = "xla"  # encoder attention: xla | pallas (flash kernel;
+    # measured slower than XLA's fusion at N≈200 but wins for long-N probing)
     profile_dir: str = ""  # write a jax.profiler trace here when set
 
     # filled in at runtime
@@ -228,6 +230,8 @@ def get_args_parser() -> argparse.ArgumentParser:
     p.add_argument("--cache_features", action="store_true", default=False)
     p.add_argument("--no_pallas_pool", action="store_false", dest="pallas_pool")
     p.set_defaults(pallas_pool=True)
+    p.add_argument("--attn_impl", default=d.attn_impl,
+                   choices=["xla", "pallas"])
     p.add_argument("--profile_dir", default="", type=str)
     return p
 

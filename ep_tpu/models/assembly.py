@@ -26,7 +26,8 @@ def build_backbone_config(cfg: TrainConfig) -> ViTConfig:
     import jax.numpy as jnp
     dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32,
              "none": jnp.float32, "float16": jnp.bfloat16}[cfg.amp]
-    kw = dict(img_size=cfg.image_size, dtype=dtype)
+    kw = dict(img_size=cfg.image_size, dtype=dtype,
+              attn_impl=getattr(cfg, "attn_impl", "xla"))
     if cfg.simmim:
         return simmim_vit_base_patch16(**kw)
     name = cfg.model

@@ -74,6 +74,7 @@ class ViTConfig:
     final_norm: str = "none"  # none | ln
     norm_eps: float = 1e-6
     mlp_type: str = "gelu"  # gelu | swiglu
+    attn_impl: str = "xla"  # xla | pallas (fused flash-attention kernel)
     dtype: Any = jnp.bfloat16  # compute dtype; params stay fp32
 
     @property
@@ -184,11 +185,15 @@ class Attention(nn.Module):
         qkv = qkv.reshape(B, T, 3, H, head_dim).transpose(2, 0, 3, 1, 4)
         q, k, v = qkv[0], qkv[1], qkv[2]
 
-        out = mha(q, k, v, scale, temperature=temperature, bias=rel_bias,
-                  return_probs=return_probs)
         probs = None
-        if return_probs:
-            out, probs = out
+        if (c.attn_impl == "pallas" and not return_probs and rel_bias is None):
+            from ep_tpu.ops.flash_attn_pallas import flash_attention
+            out = flash_attention(q, k, v, scale, temperature)
+        else:
+            out = mha(q, k, v, scale, temperature=temperature, bias=rel_bias,
+                      return_probs=return_probs)
+            if return_probs:
+                out, probs = out
         out = out.transpose(0, 2, 1, 3).reshape(B, T, D)
         out = nn.Dense(D, dtype=c.dtype, name="proj")(out)
         if return_probs:

@@ -1,0 +1,128 @@
+"""Pallas flash attention for the ViT encoder (the framework's hot op).
+
+At probe sequence lengths (T = 197–257 tokens) a full flash decomposition is
+unnecessary — K/V for one (batch, head-group) fit comfortably in VMEM — but
+keeping softmax(QKᵀ)V inside one kernel still removes the (B, H, T, T)
+probability tensor from HBM entirely (the reference materializes it on every
+block of every step, models_vit.py:86-96; we only ever materialize it in the
+opt-in attention-stats capture path).
+
+Layout: tokens padded to the 128-lane tile; each program handles G=4 heads of
+one image (grid over B·H/G) with fp32 logits/softmax on the VPU and both
+matmuls on the MXU. Backward = XLA recompute (cheap at these shapes; in
+probing mode the encoder is never differentiated anyway).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+G = 4  # heads per program
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, out_ref, *, scale: float,
+                  temperature: float, n_real: int):
+    # refs: (G, Tp, Dh)
+    q = q_ref[:].astype(jnp.float32)
+    k = k_ref[:].astype(jnp.float32)
+    v = v_ref[:]
+
+    logits = jax.lax.dot_general(
+        q * scale, k,
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ) / temperature  # (G, Tp, Tp)
+    tp = q.shape[1]
+    key_ok = jax.lax.broadcasted_iota(jnp.int32, (1, 1, tp), 2) < n_real
+    logits = jnp.where(key_ok, logits, -jnp.inf)
+    logits = logits - logits.max(axis=-1, keepdims=True)
+    probs = jnp.exp(logits)
+    probs = probs / probs.sum(axis=-1, keepdims=True)
+
+    out = jax.lax.dot_general(
+        probs.astype(v.dtype), v,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    out_ref[:] = out.astype(out_ref.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def flash_attention(q, k, v, scale: float, temperature: float = 1.0,
+                    interpret: bool = False):
+    """softmax(scale·QKᵀ/temperature)·V over (B, H, T, Dh) tensors."""
+    return _flash_forward(q, k, v, scale, temperature, interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "temperature",
+                                              "interpret"))
+def _flash_forward(q, k, v, scale, temperature, interpret):
+    B, H, T, Dh = q.shape
+    t_pad = max(128, ((T + 127) // 128) * 128)
+    # the last dim may equal the full array dim, so Dh (e.g. 64) needs no
+    # padding to the 128-lane tile — padding it would double both matmuls
+    d_pad = Dh if Dh % 8 == 0 else ((Dh + 7) // 8) * 8
+
+    def prep(x):
+        x = jnp.pad(x, [(0, 0), (0, 0), (0, t_pad - T), (0, d_pad - Dh)])
+        return x.reshape(B * H, t_pad, d_pad)
+
+    qp, kp, vp = prep(q), prep(k), prep(v)
+    grid = (B * H // G,) if (B * H) % G == 0 else (B * H,)
+    g = G if (B * H) % G == 0 else 1
+
+    out = pl.pallas_call(
+        functools.partial(_flash_kernel, scale=scale,
+                          temperature=temperature, n_real=T),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((g, t_pad, d_pad), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, t_pad, d_pad), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, t_pad, d_pad), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((g, t_pad, d_pad), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B * H, t_pad, d_pad), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * H * t_pad * t_pad * d_pad,
+            bytes_accessed=4 * B * H * t_pad * d_pad * q.dtype.itemsize,
+            transcendentals=B * H * t_pad * t_pad,
+        ),
+        interpret=interpret,
+    )(qp, kp, vp)
+    out = out.reshape(B, H, t_pad, d_pad)
+    return out[:, :, :T, :Dh]
+
+
+def _fwd(q, k, v, scale, temperature, interpret):
+    return _flash_forward(q, k, v, scale, temperature, interpret), (q, k, v)
+
+
+def _bwd(scale, temperature, interpret, res, g):
+    """XLA recompute backward (attention is a small FLOP share at T≈200;
+    probing never reaches this — the encoder sits under stop_gradient)."""
+    q, k, v = res
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q.astype(jnp.float32) * scale,
+                        k.astype(jnp.float32)) / temperature
+    a = jax.nn.softmax(logits, axis=-1)
+    g32 = g.astype(jnp.float32)
+    v32 = v.astype(jnp.float32)
+    dv = jnp.einsum("bhqk,bhqd->bhkd", a, g32).astype(v.dtype)
+    da = jnp.einsum("bhqd,bhkd->bhqk", g32, v32)
+    dl = a * (da - (a * da).sum(axis=-1, keepdims=True)) / temperature
+    dq = (jnp.einsum("bhqk,bhkd->bhqd", dl, k.astype(jnp.float32)) *
+          scale).astype(q.dtype)
+    dk = (jnp.einsum("bhqk,bhqd->bhkd", dl, q.astype(jnp.float32)) *
+          scale).astype(k.dtype)
+    return dq, dk, dv
+
+
+flash_attention.defvjp(_fwd, _bwd)

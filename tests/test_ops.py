@@ -42,6 +42,41 @@ def test_ep_pallas_vjp_matches_xla(rng):
                                    atol=1e-3, rtol=1e-3)
 
 
+def test_flash_attention_matches_mha_interpret(rng):
+    from ep_tpu.ops.flash_attn_pallas import flash_attention
+    B, H, T, Dh = 2, 4, 37, 16  # unaligned T/Dh exercise the padding
+    k1, k2, k3 = jax.random.split(rng, 3)
+    q = jax.random.normal(k1, (B, H, T, Dh))
+    k = jax.random.normal(k2, (B, H, T, Dh))
+    v = jax.random.normal(k3, (B, H, T, Dh))
+    scale = Dh ** -0.5
+    ref = mha(q, k, v, scale)
+    out = flash_attention(q, k, v, scale, 1.0, True)  # interpret on CPU
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
+
+
+def test_flash_attention_vjp(rng):
+    from ep_tpu.ops.flash_attn_pallas import flash_attention
+    B, H, T, Dh = 1, 2, 17, 8
+    k1, k2, k3 = jax.random.split(rng, 3)
+    q = jax.random.normal(k1, (B, H, T, Dh))
+    k = jax.random.normal(k2, (B, H, T, Dh))
+    v = jax.random.normal(k3, (B, H, T, Dh))
+    scale = Dh ** -0.5
+
+    def f_flash(q, k, v):
+        return (flash_attention(q, k, v, scale, 1.0, True) ** 2).sum()
+
+    def f_ref(q, k, v):
+        return (mha(q, k, v, scale) ** 2).sum()
+
+    gf = jax.grad(f_flash, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(f_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3,
+                                   rtol=1e-3)
+
+
 def test_mha_softmax_rows(rng):
     B, H, T, Dh = 2, 3, 8, 16
     k1, k2, k3 = jax.random.split(rng, 3)
