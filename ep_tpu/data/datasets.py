@@ -211,8 +211,9 @@ def stanford_cars(root: Path, split: str) -> ImageDataset:
         ann = sio.loadmat(str(root / "cars_test_annos_withlabels.mat"),
                           squeeze_me=True)
         img_dir = root / "cars_test"
+    annos = np.atleast_1d(ann["annotations"])
     items = [(str(img_dir / str(a["fname"])), int(a["class"]) - 1)
-             for a in ann["annotations"]]
+             for a in annos]
     return ImageDataset(items, classes)
 
 
