@@ -127,6 +127,14 @@ def build_loaders(cfg, dataset_train, dataset_val, transform_train,
         drop_last=drop_last, seed=cfg.seed, num_workers=cfg.num_workers,
         num_processes=num_processes, process_index=process_index,
     )
+    if cfg.dist_eval and num_processes > 1 and \
+            len(dataset_val) % num_processes != 0:
+        # main_linprobe.py:286-289 caveat: wraparound padding duplicates a few
+        # eval samples to equalize the per-process count
+        print("Warning: Enabling distributed evaluation with an eval dataset "
+              "not divisible by process number. This will slightly alter "
+              "validation results as extra duplicate entries are added to "
+              "achieve equal num of samples per-process.")
     val = DataLoader(
         dataset_val, cfg.batch_size, transform_val, shuffle=False,
         drop_last=False, seed=cfg.seed, num_workers=cfg.num_workers,
