@@ -1,0 +1,93 @@
+"""Aux-CLI tests: attention-stats collection on a tiny model, LR-search
+fallback grid, config parsing parity."""
+import argparse
+import json
+import sys
+from pathlib import Path
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import ep_tpu.cli.attention_stats as AS
+import ep_tpu.models.assembly as assembly
+from ep_tpu.configs import CLS_FT_CHOICES, config_from_args, get_args_parser
+from ep_tpu.models.vit import ViTConfig
+
+TINY = ViTConfig(img_size=16, patch_size=4, embed_dim=32, depth=2,
+                 num_heads=2, dtype=jnp.float32)
+
+
+def test_attention_stats_cli(tmp_path, monkeypatch):
+    monkeypatch.setattr(AS, "build_backbone_config", lambda cfg: TINY)
+    args = argparse.Namespace(
+        model="vit_tiny_patch16", simmim=False, finetune="",
+        checkpoint_key="model", input_size=16, dataset_name="fake",
+        data_path=Path("."), amp="float32", batch_size=16, num_workers=1,
+        seed=0, output_dir=str(tmp_path), max_batches=2,
+        draw_2d_embeddings=False)
+    summary = AS.main(args)
+    assert set(summary) == set(AS.STAT_NAMES)
+    # one value per block, probabilities in [0, 1]
+    assert len(summary["cls_cls_attention"]) == TINY.depth
+    assert all(0.0 <= v <= 1.0 for v in summary["cls_cls_attention"])
+    assert all(v >= 0.0 for v in summary["pos_pos_entropy"])
+    assert (tmp_path / "attention_stats.json").exists()
+
+
+def test_search_fallback_grid(tmp_path, monkeypatch):
+    import search_linprobe as SL
+
+    calls = []
+
+    def fake_main(cfg):
+        calls.append(cfg.blr)
+        Path(cfg.output_dir).mkdir(parents=True, exist_ok=True)
+        (Path(cfg.output_dir) / "training_log.txt").write_text(
+            f"Base learning rate: {cfg.blr}\n"
+            f"Max Accuracy: {50 + 10 * cfg.blr:.2f}%\n")
+
+    monkeypatch.setattr(SL, "linprobe_main", fake_main)
+    base = config_from_args(
+        argparse.ArgumentParser(parents=[get_args_parser()]).parse_args([]))
+    base = base.replace(output_dir=str(tmp_path))
+    results = {}
+    for n, blr in enumerate(SL.SEARCH_SPACE["blr"]):
+        results[blr] = SL.run_trial(base, blr, n)
+    assert calls == SL.SEARCH_SPACE["blr"]
+    best = max(results, key=results.get)
+    assert best == max(SL.SEARCH_SPACE["blr"])  # monotone fake objective
+    assert (tmp_path / "trial_0" / "training_log.txt").exists()
+
+
+def test_cli_flag_surface_matches_reference():
+    """Every reference flag parses; defaults match main_linprobe.py:58-181."""
+    parser = argparse.ArgumentParser(parents=[get_args_parser()])
+    args = parser.parse_args([])
+    cfg = config_from_args(args)
+    assert cfg.batch_size == 512
+    assert cfg.epochs == 90
+    assert cfg.blr == 0.1
+    assert cfg.warmup_epochs == 10
+    assert cfg.optimizer == "lars"
+    assert cfg.weight_decay == 0.0
+    assert cfg.ep_queries == 32 and cfg.d_out == 1
+    assert cfg.num_heads == 16
+    assert cfg.early_stop_patience == 5
+    assert cfg.early_stop_min_delta == 0.1
+    assert cfg.early_stop_min_epochs == 15
+    assert cfg.T == 0.07
+    # full choice list incl. the unimplemented tcut-* names
+    assert "ep" in CLS_FT_CHOICES and "tcut-eig" in CLS_FT_CHOICES
+    assert len([c for c in CLS_FT_CHOICES if c.endswith("_all")]) == 14
+
+    # reference-style command line parses
+    args = parser.parse_args([
+        "--model", "vit_base_patch16", "--cls_features", "ep",
+        "--ep_queries", "64", "--blr", "0.1", "--epochs", "90",
+        "--batch_size", "4096", "--dataset_name", "imagenet1k",
+        "--finetune", "mae.pth", "--early_stop", "--auto_resume",
+        "--dist_eval", "-dlah", "--amp", "bfloat16",
+    ])
+    cfg = config_from_args(args)
+    assert cfg.ep_queries == 64 and cfg.early_stop and cfg.auto_resume
