@@ -1,0 +1,91 @@
+"""Two-process jax.distributed simulation on CPU: validates multi-host mesh
+construction, per-process batch sharding via make_array_from_process_local_data,
+and that both processes compute the same global metrics (the property the
+reference gets from DDP+all_reduce, util/misc.py:40-51)."""
+import socket
+import subprocess
+import sys
+from pathlib import Path
+
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+
+WORKER = """
+import os, sys
+sys.path.insert(0, {repo!r})
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(
+    coordinator_address="127.0.0.1:{port}",
+    num_processes=2, process_id={pid})
+import jax.numpy as jnp
+import numpy as np
+from ep_tpu.configs import TrainConfig
+from ep_tpu.models.assembly import ProbeModel
+from ep_tpu.models.vit import ViTConfig
+from ep_tpu.parallel.mesh import make_mesh, shard_batch
+from ep_tpu.train.lars import build_optimizer
+from ep_tpu.train.schedule import make_lr_fn
+from ep_tpu.train.state import create_train_state
+from ep_tpu.train.steps import make_train_step
+
+assert jax.process_count() == 2, jax.process_count()
+mesh = make_mesh()
+assert mesh.devices.size == jax.device_count()
+
+cfg = TrainConfig(cls_features="gap", nb_classes=4, image_size=16,
+                  batch_size=16, eff_batch_size=16, amp="float32",
+                  epochs=2, warmup_epochs=1, blr=1.0)
+bcfg = ViTConfig(img_size=16, patch_size=4, embed_dim=32, depth=1,
+                 num_heads=2, dtype=jnp.float32)
+model = ProbeModel(bcfg, cfg)
+variables = model.init(jax.random.key(0), jnp.zeros((2, 16, 16, 3)), train=True)
+tx = build_optimizer("lars", 0.0)
+state = create_train_state(variables, tx, False)
+step = make_train_step(model, tx, make_lr_fn(cfg, 10), mesh)
+
+# every process contributes a DIFFERENT local half of the global batch
+rng = np.random.default_rng({pid})
+images = rng.normal(size=(8, 16, 16, 3)).astype(np.float32)
+labels = (np.arange(8) % 4).astype(np.int32)
+di, dl = shard_batch((images, labels), mesh)
+assert di.shape == (16, 16, 16, 3), di.shape  # global batch
+
+state, metrics = step(state, di, dl)
+loss = float(jax.device_get(metrics["loss"]))
+print(f"WORKER{{{pid}}} loss {{loss:.6f}}", flush=True)
+"""
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+@pytest.mark.slow
+def test_two_process_distributed(tmp_path):
+    port = _free_port()
+    procs = []
+    for pid in range(2):
+        script = tmp_path / f"worker{pid}.py"
+        script.write_text(WORKER.format(repo=str(REPO), port=port, pid=pid))
+        env = {
+            "PATH": "/usr/bin:/bin:/usr/local/bin",
+            "HOME": "/root",
+            "XLA_FLAGS": "--xla_force_host_platform_device_count=4",
+            "JAX_PLATFORMS": "cpu",
+        }
+        procs.append(subprocess.Popen(
+            [sys.executable, str(script)], env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
+    outs = [p.communicate(timeout=420)[0] for p in procs]
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker{pid}:\n{out[-3000:]}"
+    losses = []
+    for out in outs:
+        line = [l for l in out.splitlines() if l.startswith("WORKER")][0]
+        losses.append(float(line.split()[-1]))
+    # identical global loss on both processes — metrics are globally reduced
+    assert abs(losses[0] - losses[1]) < 1e-6, losses

@@ -96,6 +96,22 @@ def test_finetuning_mode(tmp_path):
     assert "max_accuracy" in res
 
 
+def test_checkpoint_is_head_only_in_probing(tmp_path):
+    """Probing checkpoints hold head params only (main_linprobe.py:706-713);
+    the backbone must not be serialized."""
+    import flax.serialization as fser
+    main(_cfg(tmp_path, epochs=1))
+    payload = fser.msgpack_restore(
+        (tmp_path / "checkpoint-.msgpack").read_bytes())
+    assert set(payload["model"].keys()) == {"head"}
+    # a full-model (finetuning) checkpoint carries the backbone too
+    main(_cfg(tmp_path, epochs=1, finetuning=True, optimizer="sgd",
+              blr=0.01, output_dir=str(tmp_path / "ft")))
+    payload = fser.msgpack_restore(
+        (tmp_path / "ft" / "checkpoint-.msgpack").read_bytes())
+    assert "backbone" in payload["model"] and "head" in payload["model"]
+
+
 def test_accum_iter(tmp_path):
     res = main(_cfg(tmp_path, accum_iter=2, batch_size=16, epochs=3))
     assert "max_accuracy" in res
