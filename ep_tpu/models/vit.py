@@ -186,7 +186,8 @@ class Attention(nn.Module):
         q, k, v = qkv[0], qkv[1], qkv[2]
 
         probs = None
-        if (c.attn_impl == "pallas" and not return_probs and rel_bias is None):
+        if (c.attn_impl == "pallas" and not return_probs and rel_bias is None
+                and jax.default_backend() == "tpu"):
             from ep_tpu.ops.flash_attn_pallas import flash_attention
             out = flash_attention(q, k, v, scale, temperature)
         else:

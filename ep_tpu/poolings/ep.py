@@ -51,7 +51,8 @@ class EfficientProbing(nn.Module):
         ).astype(self.dtype)
         v = dense(c_prime, use_bias=self.qkv_bias, dtype=self.dtype, name="v")(x)
 
-        if self.use_pallas and not return_attn:
+        if self.use_pallas and not return_attn and \
+                jax.default_backend() == "tpu":
             from ep_tpu.ops.pool_attn_pallas import ep_pool_attend
             out = ep_pool_attend(queries[0] * scale, x, v.reshape(B, N, Q, cq))
             return out.reshape(B, c_prime)
