@@ -46,6 +46,11 @@ def main(cfg: TrainConfig) -> dict:
     np.random.seed(cfg.seed + jax.process_index())
 
     mesh = make_mesh(cfg.mesh_data, cfg.mesh_model)
+    data_axis = mesh.shape["data"]
+    if cfg.batch_size % data_axis != 0:
+        raise ValueError(
+            f"--batch_size {cfg.batch_size} must be divisible by the data "
+            f"mesh axis ({data_axis} devices); pick a multiple of {data_axis}")
 
     # --- data ----------------------------------------------------------------
     transform_train, transform_val = build_transforms(cfg)

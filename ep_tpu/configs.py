@@ -134,6 +134,7 @@ class TrainConfig:
     pallas_pool: bool = True  # use the fused Pallas pooling kernel when it applies
     attn_impl: str = "xla"  # encoder attention: xla | pallas (flash kernel;
     # measured slower than XLA's fusion at N≈200 but wins for long-N probing)
+    use_grain: bool = False  # grain-backed input pipeline (worker processes)
     profile_dir: str = ""  # write a jax.profiler trace here when set
 
     # filled in at runtime
@@ -232,6 +233,7 @@ def get_args_parser() -> argparse.ArgumentParser:
     p.set_defaults(pallas_pool=True)
     p.add_argument("--attn_impl", default=d.attn_impl,
                    choices=["xla", "pallas"])
+    p.add_argument("--use_grain", action="store_true", default=False)
     p.add_argument("--profile_dir", default="", type=str)
     return p
 

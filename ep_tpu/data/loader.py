@@ -122,7 +122,11 @@ class DataLoader:
 def build_loaders(cfg, dataset_train, dataset_val, transform_train,
                   transform_val, num_processes: int = 1, process_index: int = 0):
     drop_last = not cfg.knn_eval  # main_linprobe.py:315-318
-    train = DataLoader(
+    loader_cls = DataLoader
+    if getattr(cfg, "use_grain", False):
+        from .grain_loader import GrainDataLoader
+        loader_cls = GrainDataLoader
+    train = loader_cls(
         dataset_train, cfg.batch_size, transform_train, shuffle=not cfg.knn_eval,
         drop_last=drop_last, seed=cfg.seed, num_workers=cfg.num_workers,
         num_processes=num_processes, process_index=process_index,
@@ -135,7 +139,7 @@ def build_loaders(cfg, dataset_train, dataset_val, transform_train,
               "not divisible by process number. This will slightly alter "
               "validation results as extra duplicate entries are added to "
               "achieve equal num of samples per-process.")
-    val = DataLoader(
+    val = loader_cls(
         dataset_val, cfg.batch_size, transform_val, shuffle=False,
         drop_last=False, seed=cfg.seed, num_workers=cfg.num_workers,
         num_processes=num_processes if cfg.dist_eval else 1,

@@ -80,16 +80,23 @@ def train_one_epoch(train_step, state, loader, mesh, epoch: int, cfg,
     return state, metric_logger.stats()
 
 
-def evaluate(eval_step, state, loader, mesh, cfg=None) -> Dict[str, float]:
+def evaluate(eval_step, state, loader, mesh, cfg=None,
+             return_targets_and_preds: bool = False) -> Dict[str, float]:
     metric_logger = MetricLogger(delimiter="  ")
     header = "Test:"
     sums = {"loss_sum": 0.0, "acc1_sum": 0.0, "acc5_sum": 0.0, "count": 0.0}
+    targets, preds = [], []
 
     for images, labels, valid in metric_logger.log_every(
             iter(loader), 10, header, length=len(loader)):
+        host_labels, host_valid = labels, valid
         images, labels, valid = shard_batch(
             (_host_cast(images, cfg), labels, valid), mesh)
-        batch_sums, _preds = eval_step(state, images, labels, valid)
+        batch_sums, batch_preds = eval_step(state, images, labels, valid)
+        if return_targets_and_preds:
+            keep = host_valid > 0
+            targets.append(host_labels[keep])
+            preds.append(np.asarray(jax.device_get(batch_preds))[keep])
         for k in sums:
             sums[k] += float(batch_sums[k])
         n = max(float(batch_sums["count"]), 1.0)
@@ -108,6 +115,9 @@ def evaluate(eval_step, state, loader, mesh, cfg=None) -> Dict[str, float]:
     }
     print("* Acc@1 {:.3f} Acc@5 {:.3f} loss {:.3f}".format(
         stats["acc1"], stats["acc5"], stats["loss"]))
+    if return_targets_and_preds:
+        stats["targets"] = np.concatenate(targets) if targets else np.array([])
+        stats["preds"] = np.concatenate(preds) if preds else np.array([])
     return stats
 
 

@@ -83,6 +83,12 @@ def test_early_stop_triggers(tmp_path):
     assert "[early-stop]" in log
 
 
+def test_grain_pipeline(tmp_path):
+    """--use_grain swaps in the grain-backed input pipeline."""
+    res = main(_cfg(tmp_path, use_grain=True, num_workers=0, epochs=3))
+    assert res["max_accuracy"] > 40.0
+
+
 def test_feature_cache_mode(tmp_path):
     """--cache_features: one backbone pass, then head-only training; must
     reach comparable accuracy to the no-cache run."""
