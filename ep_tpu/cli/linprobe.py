@@ -34,6 +34,13 @@ from ep_tpu.utils.logging import (MetricLogger, TrainingLogFile, make_tb_writer,
 
 
 def main(cfg: TrainConfig) -> dict:
+    if cfg.device == "cpu":
+        # honored before first backend touch; lets --device cpu force a CPU
+        # run even where a TPU plugin pins jax_platforms
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except RuntimeError:
+            pass  # backends already initialized (e.g. under pytest)
     init_distributed(cfg)
     setup_for_distributed(is_main_process())
 
