@@ -20,6 +20,10 @@ except ImportError:  # pragma: no cover
 
 IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
 IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+# OpenCLIP towers ship their own normalization (main_linprobe.py:210-211
+# pulls the transforms from open_clip; these are its constants)
+CLIP_MEAN = np.array([0.48145466, 0.4578275, 0.40821073], np.float32)
+CLIP_STD = np.array([0.26862954, 0.26130258, 0.27577711], np.float32)
 BICUBIC = 3  # PIL.Image.BICUBIC
 
 
@@ -42,10 +46,11 @@ def tf_random_resized_crop_params(
     return i, j, h, w
 
 
-def normalize(img: np.ndarray) -> np.ndarray:
+def normalize(img: np.ndarray, mean=IMAGENET_MEAN, std=IMAGENET_STD
+              ) -> np.ndarray:
     """uint8 (H,W,3) -> float32 normalized (fused native pass when built)."""
     from ep_tpu.data import _native
-    return _native.normalize_u8(img, IMAGENET_MEAN, IMAGENET_STD)
+    return _native.normalize_u8(img, mean, std)
 
 
 class TrainTransform:
@@ -53,7 +58,9 @@ class TrainTransform:
 
     def __init__(self, image_size: int = 224, scale=(0.08, 1.0),
                  ratio=(3.0 / 4.0, 4.0 / 3.0), color_jitter: float = 0.0,
-                 hflip: bool = True, autoaugment: bool = False):
+                 hflip: bool = True, autoaugment: bool = False,
+                 mean=IMAGENET_MEAN, std=IMAGENET_STD):
+        self.mean, self.std = mean, std
         self.image_size = image_size
         self.scale = scale
         self.ratio = ratio
@@ -87,13 +94,15 @@ class TrainTransform:
         if self.autoaugment:
             from .autoaugment import autoaugment_imagenet
             arr = autoaugment_imagenet(np.ascontiguousarray(arr), rng)
-        return normalize(arr)
+        return normalize(arr, self.mean, self.std)
 
 
 class ValTransform:
     """Resize(short side = image_size*256/224) + CenterCrop + normalize."""
 
-    def __init__(self, image_size: int = 224):
+    def __init__(self, image_size: int = 224, mean=IMAGENET_MEAN,
+                 std=IMAGENET_STD):
+        self.mean, self.std = mean, std
         self.image_size = image_size
         self.resize_to = int(round(image_size * 256 / 224))
 
@@ -110,7 +119,7 @@ class ValTransform:
         left = (nw - s) // 2
         top = (nh - s) // 2
         img = img.crop((left, top, left + s, top + s))
-        return normalize(np.asarray(img))
+        return normalize(np.asarray(img), self.mean, self.std)
 
 
 def _color_jitter(arr: np.ndarray, rng: np.random.Generator,
@@ -130,14 +139,17 @@ def _color_jitter(arr: np.ndarray, rng: np.random.Generator,
 
 
 def build_transforms(cfg):
-    """Train/val transform pair from a TrainConfig (main_linprobe.py:210-237)."""
+    """Train/val transform pair from a TrainConfig (main_linprobe.py:210-237).
+    OpenCLIP towers use CLIP's own normalization constants (:210-211)."""
+    mean, std = ((CLIP_MEAN, CLIP_STD) if getattr(cfg, "openclip", False)
+                 else (IMAGENET_MEAN, IMAGENET_STD))
     if cfg.train_aug == "aimv2":
         train = TrainTransform(cfg.image_size, scale=(0.08, 1.0),
                                ratio=(0.75, 1.33), color_jitter=0.3,
-                               autoaugment=True)
+                               autoaugment=True, mean=mean, std=std)
     else:
-        train = TrainTransform(cfg.image_size)
-    val = ValTransform(cfg.image_size)
+        train = TrainTransform(cfg.image_size, mean=mean, std=std)
+    val = ValTransform(cfg.image_size, mean=mean, std=std)
     if cfg.knn_eval:  # kNN mode evaluates train images deterministically
         train = val
     return train, val

@@ -30,6 +30,10 @@ def build_backbone_config(cfg: TrainConfig) -> ViTConfig:
               attn_impl=getattr(cfg, "attn_impl", "xla"))
     if cfg.simmim:
         return simmim_vit_base_patch16(**kw)
+    if cfg.openclip:
+        from .wrappers import openclip_vit_config
+        return openclip_vit_config(cfg.model, cfg.image_size, dtype).replace(
+            attn_impl=kw["attn_impl"])
     name = cfg.model
     if name.startswith("capi"):
         # CAPI ViT-L/14: converted checkpoints run through the generic ViT
