@@ -57,6 +57,13 @@ def torch_vit_to_flax(sd: Dict[str, np.ndarray], template: Dict[str, Any],
     """
     import jax
 
+    if "blocks" in template:  # scan layout: convert via the loop layout
+        from ep_tpu.models.vit import stack_block_params, unstack_block_params
+        loop_template = unstack_block_params(
+            jax.tree_util.tree_map(np.asarray, template), backbone_cfg.depth)
+        converted = torch_vit_to_flax(sd, loop_template, backbone_cfg)
+        return stack_block_params(converted, backbone_cfg.depth)
+
     out = jax.tree_util.tree_map(np.asarray, template)
     used = set()
 

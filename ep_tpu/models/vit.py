@@ -75,6 +75,10 @@ class ViTConfig:
     norm_eps: float = 1e-6
     mlp_type: str = "gelu"  # gelu | swiglu
     attn_impl: str = "xla"  # xla | pallas (fused flash-attention kernel)
+    scan_blocks: bool = False  # lax.scan over layers: one traced block body
+    # (depth× smaller HLO, much faster compiles for deep ViTs); params live
+    # stacked under 'blocks/block' instead of per-layer 'blocks_i'. The
+    # capture/return_block diagnostics paths require scan_blocks=False.
     dtype: Any = jnp.bfloat16  # compute dtype; params stay fp32
 
     @property
@@ -254,6 +258,18 @@ class Block(nn.Module):
         return x, stats
 
 
+class _BlockWrap(nn.Module):
+    """scan body: (carry=x, broadcast rel_bias/temperature) → (x', None)."""
+
+    cfg: ViTConfig
+
+    @nn.compact
+    def __call__(self, x, rel_bias, temperature):
+        y, _ = Block(self.cfg, name="block")(
+            x, temperature=temperature, rel_bias=rel_bias, capture=False)
+        return y, None
+
+
 class VisionTransformer(nn.Module):
     """The backbone. ``__call__`` implements the reference's
     forward_features token protocol (models_vit.py:198-398)."""
@@ -337,6 +353,23 @@ class VisionTransformer(nn.Module):
         # needs the final block's probabilities even in fast mode
         needs_final_attn = return_final_attn or return_features.startswith(("ca", "attn"))
 
+        use_scan = (c.scan_blocks and not capture_stats
+                    and not needs_final_attn
+                    and (return_block is None or return_block == c.depth - 1)
+                    and c.rel_pos_bias != "per_block")
+        if use_scan:
+            ScanBlocks = nn.scan(
+                _BlockWrap,
+                variable_axes={"params": 0},
+                split_rngs={"params": True},
+                in_axes=(nn.broadcast, nn.broadcast),
+                length=c.depth,
+            )
+            x, _ = ScanBlocks(c, name="blocks")(x, rel_bias, attn_temperature)
+            return self._finish(x, B, N, ss, return_features, None, c,
+                                return_final_attn=False, all_stats=[],
+                                all_magn=[])
+
         last_block = (return_block if return_block is not None else c.depth - 1)
         all_stats, all_magn = [], []
         final_probs = None
@@ -360,6 +393,13 @@ class VisionTransformer(nn.Module):
                     all_stats.append(s)
                     all_magn.append(m)
 
+        return self._finish(x, B, N, ss, return_features, final_probs, c,
+                            return_final_attn=return_final_attn,
+                            all_stats=all_stats, all_magn=all_magn)
+
+    def _finish(self, x, B, N, ss, return_features, final_probs, c, *,
+                return_final_attn, all_stats, all_magn):
+        D = c.embed_dim
         if c.final_norm == "ln":
             x = nn.LayerNorm(epsilon=c.norm_eps, dtype=c.dtype, name="norm")(x)
 
@@ -450,6 +490,30 @@ class VisionTransformer(nn.Module):
                 return (sel.astype(x_pos.dtype) * x_pos).sum(axis=1)
             raise NotImplementedError(mode)
         raise NotImplementedError(mode)
+
+
+def stack_block_params(params: dict, depth: int) -> dict:
+    """Convert loop-layout backbone params (blocks_0..blocks_{d-1}) to the
+    scan layout (params['blocks']['block'] with a leading depth axis)."""
+    import numpy as np
+
+    out = {k: v for k, v in params.items() if not k.startswith("blocks_")}
+    blocks = [params[f"blocks_{i}"] for i in range(depth)]
+    out["blocks"] = {"block": jax.tree_util.tree_map(
+        lambda *leaves: np.stack([np.asarray(l) for l in leaves]), *blocks)}
+    return out
+
+
+def unstack_block_params(params: dict, depth: int) -> dict:
+    """Inverse of stack_block_params."""
+    import numpy as np
+
+    out = {k: v for k, v in params.items() if k != "blocks"}
+    stacked = params["blocks"]["block"]
+    for i in range(depth):
+        out[f"blocks_{i}"] = jax.tree_util.tree_map(
+            lambda leaf: np.asarray(leaf)[i], stacked)
+    return out
 
 
 # --- size constructors (models_vit.py:429-459) -------------------------------

@@ -17,7 +17,10 @@ TINY = ViTConfig(img_size=16, patch_size=4, embed_dim=32, depth=2,
 
 @pytest.fixture(autouse=True)
 def tiny_backbone(monkeypatch):
+    import ep_tpu.cli.linprobe as linprobe
     monkeypatch.setattr(assembly, "build_backbone_config", lambda cfg: TINY)
+    # linprobe binds the symbol at import time — patch its local name too
+    monkeypatch.setattr(linprobe, "build_backbone_config", lambda cfg: TINY)
     yield
 
 
