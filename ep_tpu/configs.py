@@ -135,6 +135,8 @@ class TrainConfig:
     attn_impl: str = "xla"  # encoder attention: xla | pallas (flash kernel;
     # measured slower than XLA's fusion at N≈200 but wins for long-N probing)
     use_grain: bool = False  # grain-backed input pipeline (worker processes)
+    scan_blocks: bool = False  # lax.scan over encoder layers (depth× smaller
+    # HLO; much faster compiles for ViT-L/H; diagnostics paths need it off)
     profile_dir: str = ""  # write a jax.profiler trace here when set
 
     # filled in at runtime
@@ -234,6 +236,7 @@ def get_args_parser() -> argparse.ArgumentParser:
     p.add_argument("--attn_impl", default=d.attn_impl,
                    choices=["xla", "pallas"])
     p.add_argument("--use_grain", action="store_true", default=False)
+    p.add_argument("--scan_blocks", action="store_true", default=False)
     p.add_argument("--profile_dir", default="", type=str)
     return p
 

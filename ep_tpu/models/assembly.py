@@ -27,7 +27,8 @@ def build_backbone_config(cfg: TrainConfig) -> ViTConfig:
     dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32,
              "none": jnp.float32, "float16": jnp.bfloat16}[cfg.amp]
     kw = dict(img_size=cfg.image_size, dtype=dtype,
-              attn_impl=getattr(cfg, "attn_impl", "xla"))
+              attn_impl=getattr(cfg, "attn_impl", "xla"),
+              scan_blocks=getattr(cfg, "scan_blocks", False))
     if cfg.simmim:
         return simmim_vit_base_patch16(**kw)
     if cfg.openclip:
