@@ -14,6 +14,7 @@ setup (per GPU). The reference has no published throughput numbers
 degraded ~25% by the reference's always-on attention-map materialization
 (models_vit.py:243-269). Our BASELINE.json target is ≥5× at equal top-1.
 """
+import contextlib
 import json
 import time
 
@@ -48,6 +49,7 @@ def main():
         nb_classes=1000, amp="bfloat16", batch_size=BATCH * n_dev,
         epochs=90, warmup_epochs=10, blr=0.1,
         eff_batch_size=BATCH * n_dev, pallas_pool=True,
+        scan_blocks=True,  # depth× smaller HLO → predictable compile times
     )
     backbone_cfg = build_backbone_config(cfg)
     model = ProbeModel(backbone_cfg, cfg)
@@ -57,10 +59,18 @@ def main():
     images = rng.normal(size=(cfg.batch_size, 224, 224, 3)).astype(np.float32)
     labels = rng.integers(0, 1000, size=(cfg.batch_size,)).astype(np.int32)
 
-    variables = model.init(jax.random.key(0),
-                           jnp.zeros((2, 224, 224, 3), jnp.float32), train=True)
+    # init on CPU: eager per-op dispatch through the device tunnel is slow
+    try:
+        cpu = jax.devices("cpu")[0]
+    except RuntimeError:
+        cpu = None
+    with jax.default_device(cpu) if cpu else contextlib.nullcontext():
+        variables = model.init(
+            jax.random.key(0), jnp.zeros((2, 224, 224, 3), jnp.float32),
+            train=True)
     tx = build_optimizer("lars", 0.0)
     state = create_train_state(variables, tx, finetuning=False)
+    state = jax.device_put(state, jax.devices()[0])
     del variables
 
     train_step = make_train_step(model, tx, make_lr_fn(cfg, 1000), mesh)

@@ -191,6 +191,7 @@ class Attention(nn.Module):
 
         probs = None
         if (c.attn_impl == "pallas" and not return_probs and rel_bias is None
+                and not self.is_initializing()
                 and jax.default_backend() == "tpu"):
             from ep_tpu.ops.flash_attn_pallas import flash_attention
             out = flash_attention(q, k, v, scale, temperature)

@@ -52,6 +52,7 @@ class EfficientProbing(nn.Module):
         v = dense(c_prime, use_bias=self.qkv_bias, dtype=self.dtype, name="v")(x)
 
         if self.use_pallas and not return_attn and \
+                not self.is_initializing() and \
                 jax.default_backend() == "tpu":
             from ep_tpu.ops.pool_attn_pallas import ep_pool_attend
             out = ep_pool_attend(queries[0] * scale, x, v.reshape(B, N, Q, cq))
