@@ -81,7 +81,8 @@ class ProbeModel(nn.Module):
             fm = raw[:, self.backbone_cfg.num_prefix_tokens:]
             oracle_cfg = self.backbone_cfg.replace(
                 init_values=None, rel_pos_bias="none", use_abs_pos_emb=True,
-                qkv_bias_mode="full", class_token=True, reg_tokens=0)
+                qkv_bias_mode="full", class_token=True, reg_tokens=0,
+                scan_blocks=False)  # the oracle needs its final attention
             if self.backbone_cfg.embed_dim >= 384:  # real runs: DINO ViT-B/16
                 oracle_cfg = oracle_cfg.replace(
                     embed_dim=768, depth=12, num_heads=12, patch_size=16)

@@ -371,6 +371,12 @@ class VisionTransformer(nn.Module):
                                 return_final_attn=False, all_stats=[],
                                 all_magn=[])
 
+        if c.scan_blocks:
+            raise ValueError(
+                "scan_blocks=True supports only the fast path: attention "
+                "capture, ca*/attn-* modes, early return_block and per-block "
+                "rel-pos bias need scan_blocks=False (per-layer params)")
+
         last_block = (return_block if return_block is not None else c.depth - 1)
         all_stats, all_magn = [], []
         final_probs = None

@@ -88,7 +88,7 @@ def test_early_stop_triggers(tmp_path):
 
 def test_grain_pipeline(tmp_path):
     """--use_grain swaps in the grain-backed input pipeline."""
-    res = main(_cfg(tmp_path, use_grain=True, num_workers=0, epochs=3))
+    res = main(_cfg(tmp_path, use_grain=True, num_workers=0, epochs=6))
     assert res["max_accuracy"] > 40.0
 
 
