@@ -50,10 +50,11 @@ def collect_features(model, params, loader, mesh, max_batches=0):
     """Per-batch capture of (features, attn-stat stack, magnitudes),
     averaged incrementally (main_attention_stats.py:225-286)."""
 
+    # params as an argument, not a closure (HLO-constant pitfall)
     @jax.jit
-    def step(images):
+    def _step(p, images):
         feats, stats, magn = model.apply(
-            params, images, "cls", capture_stats=True)
+            p, images, "cls", capture_stats=True)
         # mean over batch & heads on device to keep transfers tiny:
         # stats (5, B, blocks, H, T) → (8, blocks): split cls vs pos token means
         s = stats.astype(jnp.float32)
@@ -78,7 +79,7 @@ def collect_features(model, params, loader, mesh, max_batches=0):
         if max_batches and i >= max_batches:
             break
         images = shard_batch(images, mesh)
-        feats, per_block = step(images)
+        feats, per_block = _step(params, images)
         keep = valid > 0
         feats_all.append(np.asarray(feats)[keep])
         labels_all.append(labels[keep])

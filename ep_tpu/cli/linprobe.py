@@ -132,11 +132,16 @@ def main(cfg: TrainConfig) -> dict:
         backbone = VisionTransformer(backbone_cfg)
         bb_params = {"params": state.frozen["backbone"]}
 
+        # params as an argument, not a closure: closed-over device arrays
+        # get embedded as HLO constants (CLAUDE.md perf notes)
         @jax.jit
-        def backbone_apply(images):
-            feats, _, _ = backbone.apply(bb_params, images, mode,
+        def _bb_apply(params, images):
+            feats, _, _ = backbone.apply(params, images, mode,
                                          cfg.return_block)
             return feats
+
+        def backbone_apply(images):
+            return _bb_apply(bb_params, images)
 
         print("[cache] extracting frozen features (train + val, one pass)")
         ex_train = DataLoader(dataset_train, cfg.batch_size, transform_train,
