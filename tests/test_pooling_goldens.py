@@ -69,6 +69,88 @@ def test_coca_golden(rng):
     np.testing.assert_allclose(out, expected, atol=1e-5)
 
 
+def test_aim_golden(rng):
+    from ep_tpu.poolings.aim import AIMAttentionPooling
+    B, N, D, H = 2, 6, 8, 2
+    mod = AIMAttentionPooling(dim=D, num_heads=H, dtype=F32)
+    x = jax.random.normal(rng, (B, N, D))
+    vs = mod.init(rng, x, train=True)
+    out, _ = mod.apply(vs, x, train=True, mutable=["batch_stats"])
+
+    p = jax.tree_util.tree_map(np.asarray, vs["params"])
+    xn = np.asarray(x)
+    # train-mode BN over (batch, tokens), affine-free (poolings/aim.py:363)
+    mu = xn.mean(axis=(0, 1))
+    var = xn.var(axis=(0, 1))
+    xb = (xn - mu) / np.sqrt(var + 1e-6)
+    Dh = D // H
+    q = np.broadcast_to(p["cls_token"], (B, 1, D))
+    q = q.reshape(B, 1, H, Dh).transpose(0, 2, 1, 3)
+    k = (xb @ p["k"]["kernel"]).reshape(B, N, H, Dh).transpose(0, 2, 1, 3)
+    v = (xb @ p["v"]["kernel"]).reshape(B, N, H, Dh).transpose(0, 2, 1, 3)
+    attn = _softmax(np.einsum("bhqd,bhkd->bhqk", q * Dh ** -0.5, k))
+    o = np.einsum("bhqk,bhkd->bhqd", attn, v)
+    expected = o.transpose(0, 2, 1, 3).reshape(B, 1, D).mean(axis=1)
+    np.testing.assert_allclose(np.asarray(out), expected, atol=1e-5)
+
+
+def test_jepa_golden(rng):
+    from ep_tpu.poolings.jepa import JEPAAttentivePooler
+    B, N, D, H = 2, 5, 8, 2
+    mod = JEPAAttentivePooler(embed_dim=D, num_heads=H, dtype=F32)
+    x = jax.random.normal(rng, (B, N, D))
+    vs = mod.init(rng, x)
+    out = np.asarray(mod.apply(vs, x))
+
+    p = jax.tree_util.tree_map(np.asarray, vs["params"])
+    xn = np.asarray(x)
+    Dh = D // H
+    q_in = np.broadcast_to(p["query_tokens"], (B, 1, D))
+    ln1 = _ln(xn, p["norm1"]["scale"], p["norm1"]["bias"], 1e-5)
+    q = (q_in @ p["xattn_q"]["kernel"] + p["xattn_q"]["bias"])
+    q = q.reshape(B, 1, H, Dh).transpose(0, 2, 1, 3)
+    kv = ln1 @ p["xattn_kv"]["kernel"] + p["xattn_kv"]["bias"]
+    kv = kv.reshape(B, N, 2, H, Dh).transpose(2, 0, 3, 1, 4)
+    k, v = kv[0], kv[1]
+    attn = _softmax(np.einsum("bhqd,bhkd->bhqk", q, k) * Dh ** -0.5)
+    y = np.einsum("bhqk,bhkd->bhqd", attn, v)
+    y = y.transpose(0, 2, 1, 3).reshape(B, 1, D)
+    y = y @ p["xattn_proj"]["kernel"] + p["xattn_proj"]["bias"]
+    qo = q_in + y
+    h = _ln(qo, p["norm2"]["scale"], p["norm2"]["bias"], 1e-5)
+    h = h @ p["mlp_fc1"]["kernel"] + p["mlp_fc1"]["bias"]
+    from scipy.special import erf
+    h = h * 0.5 * (1 + erf(h / np.sqrt(2)))  # exact GELU
+    h = h @ p["mlp_fc2"]["kernel"] + p["mlp_fc2"]["bias"]
+    expected = (qo + h)[:, 0]
+    np.testing.assert_allclose(out, expected, atol=1e-5)
+
+
+def test_cae_golden(rng):
+    from ep_tpu.poolings.cae import CAEAttentiveBlock
+    B, N, D, H = 2, 5, 8, 2
+    mod = CAEAttentiveBlock(dim=D, num_heads=H, dtype=F32)
+    x = jax.random.normal(rng, (B, N, D))
+    vs = mod.init(rng, x)
+    out = np.asarray(mod.apply(vs, x))
+
+    p = jax.tree_util.tree_map(np.asarray, vs["params"])
+    xn = np.asarray(x)
+    Dh = D // H
+    q_tok = np.broadcast_to(p["query_token"], (B, 1, D))
+    xq = _ln(q_tok, p["norm1_q"]["scale"], p["norm1_q"]["bias"], 1e-5)
+    xk = _ln(xn, p["norm1_k"]["scale"], p["norm1_k"]["bias"], 1e-5)
+    xv = _ln(xn, p["norm1_v"]["scale"], p["norm1_v"]["bias"], 1e-5)
+    q = (xq @ p["q"]["kernel"]).reshape(B, 1, H, Dh).transpose(0, 2, 1, 3)
+    k = (xk @ p["k"]["kernel"]).reshape(B, N, H, Dh).transpose(0, 2, 1, 3)
+    v = (xv @ p["v"]["kernel"]).reshape(B, N, H, Dh).transpose(0, 2, 1, 3)
+    attn = _softmax(np.einsum("bhqd,bhkd->bhqk", q * Dh ** -0.5, k))
+    o = np.einsum("bhqk,bhkd->bhqd", attn, v)
+    o = o.transpose(0, 2, 1, 3).reshape(B, 1, D)
+    expected = (o @ p["proj"]["kernel"] + p["proj"]["bias"])[:, 0]
+    np.testing.assert_allclose(out, expected, atol=1e-5)
+
+
 def test_clip_pool_golden(rng):
     B, D = 2, 8
     feat = 2  # N = 4
