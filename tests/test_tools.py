@@ -56,6 +56,18 @@ def test_scale_of():
     assert gl.scale_of("RN-50") == "Other"
 
 
+@pytest.mark.skipif(not Path("/root/reference/results.csv").exists(),
+                    reason="reference checkout not present")
+def test_render_byte_equal_to_reference_readme():
+    """Rendering the reference's own 21-row results.csv reproduces its
+    README leaderboard block byte-for-byte."""
+    rows = gl.load_rows(Path("/root/reference/results.csv"))
+    block = gl.render(rows)
+    ref = Path("/root/reference/README.md").read_text()
+    ref_block = ref.split(gl.START, 1)[1].split(gl.END, 1)[0].strip("\n")
+    assert block == ref_block
+
+
 def test_plot_lr_parses_training_log(tmp_path):
     log = tmp_path / "training_log.txt"
     log.write_text(
