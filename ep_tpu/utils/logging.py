@@ -31,9 +31,17 @@ def is_main_process() -> bool:
     return jax.process_index() == 0
 
 
+_ORIG_PRINT = None
+
+
 def setup_for_distributed(is_master: bool) -> None:
-    """Rank-0-only print with a timestamp prefix (util/misc.py:168-182)."""
-    builtin_print = builtins.print
+    """Rank-0-only print with a timestamp prefix (util/misc.py:168-182).
+    Idempotent: repeated setup (LR-search trials re-enter main) must not
+    stack prefixes."""
+    global _ORIG_PRINT
+    if _ORIG_PRINT is None:
+        _ORIG_PRINT = builtins.print
+    builtin_print = _ORIG_PRINT
 
     def print_(*args, **kwargs):
         force = kwargs.pop("force", False)

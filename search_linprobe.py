@@ -15,8 +15,12 @@ import re
 from ep_tpu.cli.linprobe import main as linprobe_main
 from ep_tpu.configs import config_from_args, get_args_parser
 
-# LARS search space (reference search_linprobe.py:60)
+# LARS search space (reference search_linprobe.py:60); override with
+# EP_SEARCH_BLRS="0.1,0.5,1.0"
 SEARCH_SPACE = {"blr": [0.1, 0.2, 0.5, 0.7, 1.0, 1.2, 1.5]}
+if os.environ.get("EP_SEARCH_BLRS"):
+    SEARCH_SPACE = {"blr": [float(v) for v in
+                            os.environ["EP_SEARCH_BLRS"].split(",")]}
 
 
 def read_max_accuracy(output_dir: str) -> float:
