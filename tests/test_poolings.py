@@ -149,10 +149,19 @@ def test_probe_head_ep_classifier_dim(rng):
 
 
 def test_head_bn_running_stats_update(rng):
+    """Running stats follow torch's momentum-0.1 convention
+    (flax momentum 0.9): after one batch, mean = 0.1 * batch_mean."""
     cfg = TrainConfig(cls_features="cls", nb_classes=3)
     head = ProbeHead(cfg, D, N, dtype=F32)
     x = jax.random.normal(rng, (B, D), F32) * 3.0 + 1.0
     vs = head.init(rng, x, train=True)
     _, upd = head.apply(vs, x, train=True, mutable=["batch_stats"])
-    mean = np.asarray(jax.tree_util.tree_leaves(upd["batch_stats"])[0])
-    assert not np.allclose(mean, 0.0)  # moved toward the batch mean
+    bs = upd["batch_stats"]["bn"]
+    np.testing.assert_allclose(np.asarray(bs["mean"]),
+                               0.1 * np.asarray(x.mean(axis=0)), atol=1e-5)
+
+    # eval path normalizes with running stats, not batch stats
+    logits_eval = head.apply({**vs, "batch_stats": upd["batch_stats"]},
+                             x, train=False)
+    logits_eval2 = head.apply(vs, x, train=False)  # zero-init running stats
+    assert not np.allclose(np.asarray(logits_eval), np.asarray(logits_eval2))
