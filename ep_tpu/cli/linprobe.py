@@ -41,6 +41,10 @@ def main(cfg: TrainConfig) -> dict:
             jax.config.update("jax_platforms", "cpu")
         except RuntimeError:
             pass  # backends already initialized (e.g. under pytest)
+    if cfg.debug_nans:
+        # pinpoints the op that produced a NaN, instead of the loss-level
+        # abort (SURVEY.md §5 failure-detection plan)
+        jax.config.update("jax_debug_nans", True)
     init_distributed(cfg)
     setup_for_distributed(is_main_process())
 

@@ -137,6 +137,7 @@ class TrainConfig:
     use_grain: bool = False  # grain-backed input pipeline (worker processes)
     scan_blocks: bool = False  # lax.scan over encoder layers (depth× smaller
     # HLO; much faster compiles for ViT-L/H; diagnostics paths need it off)
+    debug_nans: bool = False  # jax_debug_nans: fail at the op producing NaN
     profile_dir: str = ""  # write a jax.profiler trace here when set
 
     # filled in at runtime
@@ -237,6 +238,7 @@ def get_args_parser() -> argparse.ArgumentParser:
                    choices=["xla", "pallas"])
     p.add_argument("--use_grain", action="store_true", default=False)
     p.add_argument("--scan_blocks", action="store_true", default=False)
+    p.add_argument("--debug_nans", action="store_true", default=False)
     p.add_argument("--profile_dir", default="", type=str)
     return p
 
