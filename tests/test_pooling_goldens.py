@@ -69,6 +69,51 @@ def test_coca_golden(rng):
     np.testing.assert_allclose(out, expected, atol=1e-5)
 
 
+def test_esimpool_golden(rng):
+    from ep_tpu.poolings.simpool import SimPoolNoLinears
+    B, N, D, H = 2, 6, 8, 2
+    mod = SimPoolNoLinears(dim=D, num_heads=H, dtype=F32)
+    x = jax.random.normal(rng, (B, N, D))
+    vs = mod.init(rng, x)
+    out = np.asarray(mod.apply(vs, x))
+
+    p = jax.tree_util.tree_map(np.asarray, vs["params"])
+    xn = np.asarray(x)
+    # reference poolings/simpool.py:137-171: q = LN(gap), k = LN(x), v = RAW x
+    ln = lambda a: _ln(a, p["norm_patches"]["scale"],
+                       p["norm_patches"]["bias"], 1e-6)
+    Dh = D // H
+    q = ln(xn.mean(axis=1, keepdims=True)).reshape(B, 1, H, Dh).transpose(0, 2, 1, 3)
+    k = ln(xn).reshape(B, N, H, Dh).transpose(0, 2, 1, 3)
+    v = xn.reshape(B, N, H, Dh).transpose(0, 2, 1, 3)
+    attn = _softmax(np.einsum("bhqd,bhkd->bhqk", q, k) * Dh ** -0.5)
+    o = np.einsum("bhqk,bhkd->bhqd", attn, v)
+    expected = o.transpose(0, 2, 1, 3).reshape(B, 1, D)[:, 0]
+    np.testing.assert_allclose(out, expected, atol=1e-5)
+
+
+def test_dolg_golden(rng):
+    from ep_tpu.poolings.dolg import DOLGSpatialAttention
+    B, N, D = 2, 16, 8  # 4x4 grid
+    mod = DOLGSpatialAttention(in_c=D, s3_dim=D, dtype=F32)
+    x = jax.random.normal(rng, (B, N, D))
+    vs = mod.init(rng, x, train=True)
+    out, _ = mod.apply(vs, x, train=True, mutable=["batch_stats"])
+
+    p = jax.tree_util.tree_map(np.asarray, vs["params"])
+    g = np.asarray(x).reshape(B, 4, 4, D)
+    # conv1 1x1 + train-mode BN (batch stats over B,H,W)
+    h = g @ p["conv1"]["kernel"][0, 0] + p["conv1"]["bias"]
+    mu = h.mean(axis=(0, 1, 2))
+    var = h.var(axis=(0, 1, 2))
+    hb = (h - mu) / np.sqrt(var + 1e-5) * p["bn"]["scale"] + p["bn"]["bias"]
+    fmn = hb / np.clip(np.linalg.norm(hb, axis=-1, keepdims=True), 1e-12, None)
+    a = np.maximum(hb, 0) @ p["conv2"]["kernel"][0, 0] + p["conv2"]["bias"]
+    att = np.log1p(np.exp(a))  # softplus
+    expected = (att * fmn).mean(axis=(1, 2))
+    np.testing.assert_allclose(np.asarray(out), expected, atol=1e-4)
+
+
 def test_aim_golden(rng):
     from ep_tpu.poolings.aim import AIMAttentionPooling
     B, N, D, H = 2, 6, 8, 2
