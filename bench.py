@@ -26,7 +26,7 @@ REF_BASELINE_IMG_S = 1000.0
 
 import sys
 
-BATCH = 256
+BATCH = 512
 MEASURE_STEPS = 10
 
 
@@ -98,7 +98,7 @@ def main():
     img_s_chip = cfg.batch_size / step_t / n_dev
     print(json.dumps({
         "metric": "probe-train images/sec/chip (frozen ViT-B/16 + EP32 head, "
-                  "bf16, bs256)",
+                  "bf16, bs512)",
         "value": round(img_s_chip, 1),
         "unit": "images/sec/chip",
         "vs_baseline": round(img_s_chip / REF_BASELINE_IMG_S, 3),
