@@ -196,6 +196,70 @@ def test_cae_golden(rng):
     np.testing.assert_allclose(out, expected, atol=1e-5)
 
 
+def test_abmilp_golden(rng):
+    from ep_tpu.poolings.abmilp import ABMILPHead
+    B, N, D = 2, 6, 8
+    mod = ABMILPHead(dim=D, self_attention_apply_to="both", depth=2,
+                     dtype=F32)
+    x = jax.random.normal(rng, (B, N, D))
+    vs = mod.init(rng, x)
+    out = np.asarray(mod.apply(vs, x))
+
+    p = jax.tree_util.tree_map(np.asarray, vs["params"])
+    xn = np.asarray(x)
+    # 1-head self-attention pre-pass (qkv fused no bias, proj with bias)
+    sa = p["self_attn"]
+    qkv = xn @ sa["qkv"]["kernel"]
+    q, k, v = qkv[..., :D], qkv[..., D:2 * D], qkv[..., 2 * D:]
+    attn = _softmax(np.einsum("bqd,bkd->bqk", q * D ** -0.5, k))
+    y = np.einsum("bqk,bkd->bqd", attn, v)
+    x_attn = y @ sa["proj"]["kernel"] + sa["proj"]["bias"]
+    # MLP attention predictor over the self-attended tokens ("both")
+    h = np.tanh(x_attn @ p["attention_predictor_0"]["kernel"] +
+                p["attention_predictor_0"]["bias"])
+    scores = h @ p["attention_predictor_2"]["kernel"] + \
+        p["attention_predictor_2"]["bias"]
+    w = _softmax(scores, axis=1)
+    expected = (x_attn * w).sum(axis=1)
+    np.testing.assert_allclose(out, expected, atol=1e-5)
+
+
+def test_cbam_golden(rng):
+    from ep_tpu.poolings.cbam import CbamPooling
+    B, N, D = 2, 16, 32  # 4x4 grid; rd = 32/16 = 2
+    mod = CbamPooling(channels=D, dtype=F32)
+    x = jax.random.normal(rng, (B, N, D))
+    vs = mod.init(rng, x, train=True)
+    out, _ = mod.apply(vs, x, train=True, mutable=["batch_stats"])
+
+    p = jax.tree_util.tree_map(np.asarray, vs["params"])
+    g = np.asarray(x).reshape(B, 4, 4, D)
+    residual = g
+    f1, f2 = p["fc1"]["kernel"][0, 0], p["fc2"]["kernel"][0, 0]
+    x_avg = np.maximum(g.mean(axis=(1, 2), keepdims=True) @ f1, 0) @ f2
+    x_max = np.maximum(g.max(axis=(1, 2), keepdims=True) @ f1, 0) @ f2
+    g = g / (1 + np.exp(-(x_avg + x_max)))
+    sp = np.concatenate([g.mean(-1, keepdims=True), g.max(-1, keepdims=True)],
+                        axis=-1)
+    # 7x7 SAME conv on a 4x4 grid + train-mode BN
+    from scipy.signal import correlate
+    kern = p["spatial_conv"]["kernel"]  # (7,7,2,1)
+    conv = np.zeros((B, 4, 4, 1))
+    padded = np.pad(sp, [(0, 0), (3, 3), (3, 3), (0, 0)])
+    for b in range(B):
+        acc = np.zeros((4, 4))
+        for c in range(2):
+            acc += correlate(padded[b, :, :, c], kern[:, :, c, 0],
+                             mode="valid")
+        conv[b, :, :, 0] = acc
+    mu, var = conv.mean(), conv.var()
+    bn = (conv - mu) / np.sqrt(var + 1e-5) * p["spatial_bn"]["scale"] + \
+        p["spatial_bn"]["bias"]
+    g = g / (1 + np.exp(-bn))
+    expected = np.maximum(g + residual, 0).mean(axis=(1, 2))
+    np.testing.assert_allclose(np.asarray(out), expected, atol=1e-4)
+
+
 def test_clip_pool_golden(rng):
     B, D = 2, 8
     feat = 2  # N = 4
