@@ -196,6 +196,99 @@ def test_cae_golden(rng):
     np.testing.assert_allclose(out, expected, atol=1e-5)
 
 
+def _gelu(h):
+    from scipy.special import erf
+    return h * 0.5 * (1 + erf(h / np.sqrt(2)))
+
+
+def test_siglip_golden(rng):
+    from ep_tpu.poolings.clip_pool import SigLIPAttentionPool
+    B, N, D, H = 2, 6, 8, 2
+    mod = SigLIPAttentionPool(in_features=D, num_heads=H, dtype=F32)
+    x = jax.random.normal(rng, (B, N, D))
+    vs = mod.init(rng, x)
+    out = np.asarray(mod.apply(vs, x))
+
+    p = jax.tree_util.tree_map(np.asarray, vs["params"])
+    xn = np.asarray(x)
+    Dh = D // H
+    lat = np.broadcast_to(p["latent"], (B, 1, D))
+    q = (lat @ p["q"]["kernel"] + p["q"]["bias"]).reshape(
+        B, 1, H, Dh).transpose(0, 2, 1, 3)
+    kv = xn @ p["kv"]["kernel"] + p["kv"]["bias"]
+    kv = kv.reshape(B, N, 2, H, Dh).transpose(2, 0, 3, 1, 4)
+    k, v = kv[0], kv[1]
+    attn = _softmax(np.einsum("bhqd,bhkd->bhqk", q * Dh ** -0.5, k))
+    o = np.einsum("bhqk,bhkd->bhqd", attn, v).transpose(0, 2, 1, 3)
+    o = o.reshape(B, 1, D) @ p["proj"]["kernel"] + p["proj"]["bias"]
+    # residual MLP without pre-norm (timm AttentionPoolLatent default)
+    h = _gelu(o @ p["mlp_fc1"]["kernel"] + p["mlp_fc1"]["bias"])
+    h = h @ p["mlp_fc2"]["kernel"] + p["mlp_fc2"]["bias"]
+    expected = (o + h)[:, 0]
+    np.testing.assert_allclose(out, expected, atol=1e-5)
+
+
+def test_cait_golden(rng):
+    from ep_tpu.poolings.cait import CaiTPooling
+    B, N, D, H = 2, 6, 8, 2
+    mod = CaiTPooling(embed_dim=D, num_heads=H, dtype=F32)
+    x = jax.random.normal(rng, (B, N, D))
+    vs = mod.init(rng, x)
+    out = np.asarray(mod.apply(vs, x))
+
+    p = jax.tree_util.tree_map(np.asarray, vs["params"])
+    xn = np.asarray(x)
+    Dh = D // H
+    blk = "blocks_token_only_0"
+    cls = np.broadcast_to(p["cls_token"], (B, 1, D))
+    u = np.concatenate([cls, xn], axis=1)
+    un = _ln(u, p[f"{blk}_norm1"]["scale"], p[f"{blk}_norm1"]["bias"], 1e-6)
+    a = p[f"{blk}_attn"]
+    q = (un[:, :1] @ a["q"]["kernel"] + a["q"]["bias"]).reshape(
+        B, 1, H, Dh).transpose(0, 2, 1, 3)
+    k = (un @ a["k"]["kernel"] + a["k"]["bias"]).reshape(
+        B, N + 1, H, Dh).transpose(0, 2, 1, 3)
+    v = (un @ a["v"]["kernel"] + a["v"]["bias"]).reshape(
+        B, N + 1, H, Dh).transpose(0, 2, 1, 3)
+    attn = _softmax(np.einsum("bhqd,bhkd->bhqk", q * Dh ** -0.5, k))
+    o = np.einsum("bhqk,bhkd->bhqd", attn, v).transpose(0, 2, 1, 3)
+    o = o.reshape(B, 1, D) @ a["proj"]["kernel"] + a["proj"]["bias"]
+    cls = cls + p[f"{blk}_gamma_1"] * o
+    h = _ln(cls, p[f"{blk}_norm2"]["scale"], p[f"{blk}_norm2"]["bias"], 1e-6)
+    h = _gelu(h @ p[f"{blk}_mlp_fc1"]["kernel"] + p[f"{blk}_mlp_fc1"]["bias"])
+    h = h @ p[f"{blk}_mlp_fc2"]["kernel"] + p[f"{blk}_mlp_fc2"]["bias"]
+    cls = cls + p[f"{blk}_gamma_2"] * h
+    seq = np.concatenate([cls, xn], axis=1)
+    expected = _ln(seq, p["norm"]["scale"], p["norm"]["bias"], 1e-5)[:, 0]
+    np.testing.assert_allclose(out, expected, atol=1e-5)
+
+
+def test_dinovit_golden(rng):
+    from ep_tpu.poolings.dinovit import DinoViTBlockPooling
+    B, N, D, H = 2, 5, 8, 2
+    mod = DinoViTBlockPooling(d_model=D, num_heads=H, dtype=F32)
+    x = jax.random.normal(rng, (B, N, D))
+    vs = mod.init(rng, x)
+    out = np.asarray(mod.apply(vs, x))
+
+    p = jax.tree_util.tree_map(np.asarray, vs["params"])
+    xn = np.asarray(x)
+    Dh = D // H
+    h = _ln(xn, p["norm1"]["scale"], p["norm1"]["bias"], 1e-5)
+    qkv = (h @ p["qkv"]["kernel"]).reshape(B, N, 3, H, Dh).transpose(
+        2, 0, 3, 1, 4)
+    q, k, v = qkv[0], qkv[1], qkv[2]
+    attn = _softmax(np.einsum("bhqd,bhkd->bhqk", q * Dh ** -0.5, k))
+    y = np.einsum("bhqk,bhkd->bhqd", attn, v).transpose(0, 2, 1, 3)
+    y = y.reshape(B, N, D) @ p["proj"]["kernel"] + p["proj"]["bias"]
+    xr = xn + y
+    h = _ln(xr, p["norm2"]["scale"], p["norm2"]["bias"], 1e-5)
+    m = _gelu(h @ p["mlp_fc1"]["kernel"] + p["mlp_fc1"]["bias"])
+    m = m @ p["mlp_fc2"]["kernel"] + p["mlp_fc2"]["bias"]
+    expected = (xr + m).mean(axis=1)
+    np.testing.assert_allclose(out, expected, atol=1e-5)
+
+
 def test_abmilp_golden(rng):
     from ep_tpu.poolings.abmilp import ABMILPHead
     B, N, D = 2, 6, 8
