@@ -61,6 +61,29 @@ class FakeDataset(ImageDataset):
         super().__init__(items, [str(c) for c in range(num_classes)])
 
 
+class FakeNeedleDataset(ImageDataset):
+    """Synthetic 'needle' dataset: the class signature lives in ONE randomly
+    placed patch-sized square; the rest is noise. Global average pooling
+    dilutes the signal ~N×, while attentive poolings (EP) can attend to the
+    needle — a demo-scale reproduction of the paper's core phenomenon."""
+
+    def __init__(self, n: int = 512, num_classes: int = 8,
+                 image_size: int = 32, patch: int = 8, seed: int = 0):
+        rng = np.random.default_rng(seed)
+        sig_rng = np.random.default_rng(999)
+        tints = sig_rng.integers(30, 226, (num_classes, 3))
+        g = image_size // patch
+        items = []
+        for i in range(n):
+            label = int(i % num_classes)
+            img = rng.integers(96, 160, (image_size, image_size, 3), np.uint8)
+            r, c = rng.integers(0, g, 2)
+            img[r * patch:(r + 1) * patch, c * patch:(c + 1) * patch] = \
+                tints[label][None, None]
+            items.append((img, label))
+        super().__init__(items, [str(c) for c in range(num_classes)])
+
+
 def image_folder(root: Path) -> ImageDataset:
     """torchvision.datasets.ImageFolder-compatible layout."""
     root = Path(root)
@@ -265,4 +288,9 @@ def build_datasets(cfg) -> Tuple[ImageDataset, ImageDataset]:
     if name == "fake":
         return (FakeDataset(512, cfg.nb_classes, cfg.image_size, seed=0),
                 FakeDataset(128, cfg.nb_classes, cfg.image_size, seed=1))
+    if name == "fake_needle":
+        return (FakeNeedleDataset(1024, cfg.nb_classes, cfg.image_size,
+                                  seed=0),
+                FakeNeedleDataset(256, cfg.nb_classes, cfg.image_size,
+                                  seed=1))
     raise ValueError(f'Unsupported dataset "{name}"')
