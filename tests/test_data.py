@@ -97,3 +97,20 @@ def test_unknown_dataset_raises():
     cfg = TrainConfig(dataset_name="nope")
     with pytest.raises(ValueError):
         build_datasets(cfg)
+
+
+def test_grain_loader_matches_thread_loader_sharding():
+    """GrainDataLoader implements the same DistributedSampler contract as the
+    threaded loader: identical per-epoch index assignment."""
+    from ep_tpu.data.grain_loader import GrainDataLoader
+    ds = FakeDataset(n=101, num_classes=5, image_size=8)
+    t = ValTransform(8)
+    for p in range(3):
+        a = DataLoader(ds, 16, t, shuffle=True, seed=7, num_processes=3,
+                       process_index=p)
+        b = GrainDataLoader(ds, 16, t, shuffle=True, seed=7, num_processes=3,
+                            process_index=p)
+        a.set_epoch(4)
+        b.set_epoch(4)
+        np.testing.assert_array_equal(a._indices(), b._indices())
+        assert len(a) == len(b)
