@@ -129,3 +129,22 @@ def test_accum_iter(tmp_path):
 def test_dino_oracle_mode(tmp_path):
     res = main(_cfg(tmp_path, cls_features="dino", epochs=2))
     assert "max_accuracy" in res
+
+
+@pytest.mark.parametrize("head", ["cp2", "attn-mn", "cls"])
+def test_diagnostic_feature_modes_e2e(tmp_path, head):
+    res = main(_cfg(tmp_path, cls_features=head, epochs=2))
+    assert "max_accuracy" in res
+
+
+def test_ep_d_out(tmp_path):
+    """--d_out shrinks the classifier input to D/d_out (poolings/ep.py:25,45
+    + main_linprobe.py:487-493)."""
+    import flax.serialization as fser
+    res = main(_cfg(tmp_path, cls_features="ep", ep_queries=4, d_out=2,
+                    pallas_pool=False, epochs=2))
+    assert "max_accuracy" in res
+    payload = fser.msgpack_restore(
+        (tmp_path / "checkpoint-.msgpack").read_bytes())
+    fc_kernel = payload["model"]["head"]["fc"]["kernel"]
+    assert fc_kernel.shape[0] == 32 // 2  # TINY embed_dim // d_out
