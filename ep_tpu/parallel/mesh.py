@@ -27,12 +27,26 @@ MODEL_AXIS = "model"
 def init_distributed(cfg=None) -> None:
     """Multi-host init. A no-op on a single host.
 
-    The reference reads torchrun/OMPI/SLURM env vars and calls
-    dist.init_process_group('nccl'); on TPU pods the coordinator details come
-    from the same style of env vars, consumed by jax.distributed.initialize.
+    Counterpart of the reference's torchrun/OMPI/SLURM env-var dispatch +
+    NCCL rendezvous (util/misc.py:214-257): jax.distributed.initialize reads
+    the same style of launcher env vars (SLURM, GKE/JobSet, Cloud TPU
+    metadata) and brings up the cross-host runtime. Triggered when a known
+    launcher is detected or EP_TPU_MULTIHOST=1 forces it.
     """
-    if int(os.environ.get("EP_TPU_MULTIHOST", "0")):
+    launcher_envs = ("EP_TPU_MULTIHOST", "COORDINATOR_ADDRESS",
+                     "SLURM_PROCID", "OMPI_COMM_WORLD_RANK",
+                     "JOBSET_NAME")
+    trigger = next((v for v in launcher_envs if os.environ.get(v)), None)
+    if trigger is None or os.environ.get(trigger) in ("0", ""):
+        return
+    print(f"| distributed init (trigger {trigger})")
+    try:
         jax.distributed.initialize()
+    except RuntimeError as err:  # already initialized (test harness)
+        print(f"| distributed init skipped: {err}")
+        return
+    print(f"| distributed ready: process {jax.process_index()} / "
+          f"{jax.process_count()}")
 
 
 def make_mesh(data: int = -1, model: int = 1, devices=None) -> Mesh:
