@@ -71,6 +71,17 @@ def test_lr_fn_blr_scaling():
     assert all(a >= b - 1e-9 for a, b in zip(vals, vals[1:]))
 
 
+def test_schedule_edges():
+    # warmup_epochs=0: cosine from step 0, starting at full lr
+    assert abs(float(lr_at_epoch(0.0, 1.0, 0.0, 0, 10)) - 1.0) < 1e-6
+    # min_lr floor at the end of the cycle
+    assert abs(float(lr_at_epoch(90.0, 1.0, 0.05, 10, 90)) - 0.05) < 1e-6
+    # lr explicitly set overrides blr scaling
+    cfg = TrainConfig(lr=0.123, blr=9.9, eff_batch_size=4096)
+    from ep_tpu.train.schedule import resolve_lr
+    assert resolve_lr(cfg) == 0.123
+
+
 def test_build_optimizer_variants():
     for name in ["lars", "adamw", "sgd"]:
         tx = build_optimizer(name, 0.0)
