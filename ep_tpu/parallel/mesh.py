@@ -33,12 +33,33 @@ def init_distributed(cfg=None) -> None:
     metadata) and brings up the cross-host runtime. Triggered when a known
     launcher is detected or EP_TPU_MULTIHOST=1 forces it.
     """
-    launcher_envs = ("EP_TPU_MULTIHOST", "COORDINATOR_ADDRESS",
-                     "SLURM_PROCID", "OMPI_COMM_WORLD_RANK",
-                     "JOBSET_NAME")
-    trigger = next((v for v in launcher_envs if os.environ.get(v)), None)
-    if trigger is None or os.environ.get(trigger) in ("0", ""):
+    # Explicit opt-out / opt-in first. Only EP_TPU_MULTIHOST gets the
+    # "0/empty means disabled" reading — rank env vars are legitimately "0"
+    # on process 0 (SLURM_PROCID=0, OMPI_COMM_WORLD_RANK=0) and must still
+    # trigger init, or rank 0 skips the rendezvous while ranks >=1 block on
+    # the coordinator.
+    force = os.environ.get("EP_TPU_MULTIHOST")
+    if force is not None and force in ("0", ""):
         return
+    if force is None:
+        launcher_envs = ("COORDINATOR_ADDRESS", "SLURM_PROCID",
+                         "OMPI_COMM_WORLD_RANK", "JOBSET_NAME")
+        trigger = next((v for v in launcher_envs if v in os.environ), None)
+        if trigger is None:
+            return
+        # A launcher var alone isn't enough: single-task SLURM allocations
+        # also export SLURM_PROCID. Require world size > 1 when it's known.
+        world_envs = ("SLURM_NTASKS", "OMPI_COMM_WORLD_SIZE", "WORLD_SIZE")
+        world = next((os.environ[v] for v in world_envs if os.environ.get(v)),
+                     None)
+        if world is not None:
+            try:
+                if int(world) <= 1:
+                    return
+            except ValueError:
+                pass
+    else:
+        trigger = "EP_TPU_MULTIHOST"
     print(f"| distributed init (trigger {trigger})")
     try:
         jax.distributed.initialize()

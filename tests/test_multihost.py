@@ -89,3 +89,41 @@ def test_two_process_distributed(tmp_path):
         losses.append(float(line.split()[-1]))
     # identical global loss on both processes — metrics are globally reduced
     assert abs(losses[0] - losses[1]) < 1e-6, losses
+
+
+def test_init_distributed_trigger_logic(monkeypatch):
+    """Rank-0 env values must still trigger init; EP_TPU_MULTIHOST=0 opts out;
+    single-task SLURM allocations (world size 1) must NOT trigger."""
+    import jax
+    from ep_tpu.parallel import mesh as M
+
+    calls = []
+    monkeypatch.setattr(jax.distributed, "initialize",
+                        lambda *a, **k: calls.append(1) or (_ for _ in ()).throw(
+                            RuntimeError("test: no coordinator")))
+    launcher_vars = ["EP_TPU_MULTIHOST", "COORDINATOR_ADDRESS", "SLURM_PROCID",
+                     "OMPI_COMM_WORLD_RANK", "JOBSET_NAME", "SLURM_NTASKS",
+                     "OMPI_COMM_WORLD_SIZE", "WORLD_SIZE"]
+
+    def run(env):
+        for v in launcher_vars:
+            monkeypatch.delenv(v, raising=False)
+        for k, v in env.items():
+            monkeypatch.setenv(k, v)
+        calls.clear()
+        M.init_distributed()
+        return bool(calls)
+
+    # rank 0 of a 4-task SLURM job MUST init (the round-1 bug: "0" read as off)
+    assert run({"SLURM_PROCID": "0", "SLURM_NTASKS": "4"})
+    assert run({"OMPI_COMM_WORLD_RANK": "0", "OMPI_COMM_WORLD_SIZE": "2"})
+    # nonzero ranks too
+    assert run({"SLURM_PROCID": "3", "SLURM_NTASKS": "4"})
+    # forced on/off
+    assert run({"EP_TPU_MULTIHOST": "1"})
+    assert not run({"EP_TPU_MULTIHOST": "0", "SLURM_PROCID": "1",
+                    "SLURM_NTASKS": "4"})
+    # single-task allocation: launcher var present but world size 1
+    assert not run({"SLURM_PROCID": "0", "SLURM_NTASKS": "1"})
+    # bare shell, no launcher
+    assert not run({})
