@@ -91,6 +91,9 @@ def main(cfg: TrainConfig) -> dict:
     if cfg.finetune:
         from ep_tpu.convert.torch_vit import load_pretrained_backbone
         variables = load_pretrained_backbone(cfg, backbone_cfg, variables)
+    if cfg.oracle_ckpt:
+        from ep_tpu.convert.torch_vit import load_oracle
+        variables = load_oracle(cfg, backbone_cfg, variables)
 
     tx = build_optimizer(cfg.optimizer, cfg.weight_decay)
     if cfg.accum_iter > 1:
@@ -124,6 +127,13 @@ def main(cfg: TrainConfig) -> dict:
     eval_step = make_eval_step(model, mesh)
 
     # --- feature-cache fast path (our extension; SURVEY.md §7 decision 1) -----
+    if cfg.cache_features and jax.process_count() > 1:
+        # extraction materializes features host-side (jax.device_get on the
+        # global array), which needs a fully-addressable array; per-host
+        # sharded extraction + allgather isn't wired yet
+        print("[cache] --cache_features is single-process only; "
+              "falling back to standard training")
+        cfg = cfg.replace(cache_features=False)
     if cfg.cache_features and not cfg.finetuning and not cfg.eval \
             and not cfg.knn_eval:
         from ep_tpu.data.loader import DataLoader

@@ -138,18 +138,22 @@ def knn_classifier(train_features, train_labels, test_features, test_labels,
                    num_chunks: int = 500):
     """Temperature-weighted cosine kNN (engine_finetune.py:216-257), chunked
     (chunk × N_train) matmuls on device."""
-    train_features = jnp.asarray(train_features)  # (N, D), L2-normalized
-    test_features = jnp.asarray(test_features)
-    train_labels = jnp.asarray(train_labels, jnp.int32)
+    # train features/labels travel as ARGUMENTS to the jitted fn: closing
+    # over them would embed the full train matrix as an HLO constant and
+    # balloon the (remote) compile payload — the same pitfall make_train_step
+    # avoids for params (CLAUDE.md perf notes).
+    train_features = jax.device_put(jnp.asarray(train_features))  # (N, D)
+    train_labels = jax.device_put(jnp.asarray(train_labels, jnp.int32))
+    test_features = np.asarray(test_features)
 
     n_test = test_features.shape[0]
     imgs_per_chunk = max(1, n_test // num_chunks)
 
     @jax.jit
-    def chunk_predict(feats):
-        sim = feats @ train_features.T  # (chunk, N_train)
+    def chunk_predict(feats, tr_feats, tr_labels):
+        sim = feats @ tr_feats.T  # (chunk, N_train)
         dist, idx = jax.lax.top_k(sim, k)
-        neighbors = train_labels[idx]  # (chunk, k)
+        neighbors = tr_labels[idx]  # (chunk, k)
         weights = jnp.exp(dist / T)  # (chunk, k)
         one_hot = jax.nn.one_hot(neighbors, num_classes)  # (chunk, k, C)
         probs = (one_hot * weights[:, :, None]).sum(axis=1)
@@ -160,7 +164,15 @@ def knn_classifier(train_features, train_labels, test_features, test_labels,
     test_labels = np.asarray(test_labels)
     for s in range(0, n_test, imgs_per_chunk):
         e = min(s + imgs_per_chunk, n_test)
-        pred5 = np.asarray(chunk_predict(test_features[s:e]))
+        feats = test_features[s:e]
+        if len(feats) < imgs_per_chunk:
+            # pad the ragged tail to the static chunk shape: one compiled
+            # program instead of a second multi-minute remote compile
+            feats = np.concatenate(
+                [feats, np.zeros((imgs_per_chunk - len(feats),) + feats.shape[1:],
+                                 feats.dtype)])
+        pred5 = np.asarray(
+            chunk_predict(feats, train_features, train_labels))[:e - s]
         labels = test_labels[s:e]
         top1 += (pred5[:, 0] == labels).sum()
         top5 += (pred5 == labels[:, None]).any(axis=1).sum()

@@ -27,10 +27,17 @@ import numpy as np
 from ep_tpu.parallel.mesh import shard_batch
 
 
-def extract_split(backbone_apply, loader, mesh, cache_dir: str, name: str):
-    """Run the frozen backbone over a split → (features array, labels)."""
+def extract_split(backbone_apply, loader, mesh, cache_dir: str, name: str,
+                  memmap_threshold: int = 2 << 30):
+    """Run the frozen backbone over a split → (features array, labels).
+
+    The RAM-vs-memmap decision is made ONCE, at the first batch, from
+    dataset-length × per-row bytes (valid-mask filtering can shrink early
+    batches, so a per-batch estimate could flip mid-stream and strand
+    already-accumulated rows — round-1 Weak #4)."""
     feats_list, labels_list = [], []
     memmap = None
+    use_memmap = None
     n_written = 0
     for images, labels, valid in iter(loader):
         images = shard_batch(images, mesh)
@@ -38,13 +45,16 @@ def extract_split(backbone_apply, loader, mesh, cache_dir: str, name: str):
         keep = valid > 0
         f = f[keep]
         labels_list.append(labels[keep])
-        nbytes_total = f.nbytes * len(loader)
-        if memmap is None and nbytes_total > 2 << 30 and cache_dir:
-            os.makedirs(cache_dir, exist_ok=True)
-            memmap = np.lib.format.open_memmap(
-                os.path.join(cache_dir, f"feat_cache_{name}.npy"), mode="w+",
-                dtype=np.float16,
-                shape=(len(loader.dataset),) + f.shape[1:])
+        if use_memmap is None:
+            per_row = int(np.prod(f.shape[1:])) * f.dtype.itemsize
+            use_memmap = bool(cache_dir) and \
+                per_row * len(loader.dataset) > memmap_threshold
+            if use_memmap:
+                os.makedirs(cache_dir, exist_ok=True)
+                memmap = np.lib.format.open_memmap(
+                    os.path.join(cache_dir, f"feat_cache_{name}.npy"),
+                    mode="w+", dtype=np.float16,
+                    shape=(len(loader.dataset),) + f.shape[1:])
         if memmap is not None:
             memmap[n_written:n_written + len(f)] = f.astype(np.float16)
         else:
