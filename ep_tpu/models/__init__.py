@@ -6,8 +6,7 @@ from .vit import (VIT_CONFIGS, Attention, Block, ViTConfig, VisionTransformer,
                   remap_features, simmim_vit_base_patch16, vit_base_patch16,
                   vit_huge_patch14, vit_large_patch16, vit_small_patch16,
                   vit_tiny_patch16)
-from .wrappers import (TokenSourceWrapper, capi_config, dinov2_config,
-                       openclip_vit_config)
+from .wrappers import capi_config, dinov2_config, openclip_vit_config
 
 __all__ = [
     "ProbeModel", "build_backbone_config", "init_probe_model",
@@ -17,6 +16,5 @@ __all__ = [
     "remap_features", "simmim_vit_base_patch16", "vit_base_patch16",
     "vit_huge_patch14", "vit_large_patch16", "vit_small_patch16",
     "vit_tiny_patch16",
-    "TokenSourceWrapper", "capi_config", "dinov2_config",
-    "openclip_vit_config",
+    "capi_config", "dinov2_config", "openclip_vit_config",
 ]

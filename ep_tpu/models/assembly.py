@@ -33,25 +33,56 @@ def build_backbone_config(cfg: TrainConfig) -> ViTConfig:
         return simmim_vit_base_patch16(**kw)
     if cfg.openclip:
         from .wrappers import openclip_vit_config
-        return openclip_vit_config(cfg.model, cfg.image_size, dtype).replace(
-            attn_impl=kw["attn_impl"])
+        return openclip_vit_config(
+            cfg.model, cfg.image_size, dtype,
+            pretrain=getattr(cfg, "openclip_pretrain", "openai"),
+        ).replace(attn_impl=kw["attn_impl"])
     name = cfg.model
+    if name.startswith("mae_vit"):
+        # probe the MAE autoencoder's encoder latent. The reference's
+        # MaskedAutoencoderViT branches (engine_finetune.py:133-135,193-196)
+        # are vestigial — no driver constructs one, and the 4-tuple unpack
+        # doesn't match MAE's (loss, pred, mask) return — so this is the
+        # working equivalent: full-token (mask_ratio=0) encoder pass.
+        from .mae import (mae_vit_base_patch16, mae_vit_huge_patch14,
+                          mae_vit_large_patch16)
+        builders = {"mae_vit_base_patch16": mae_vit_base_patch16,
+                    "mae_vit_large_patch16": mae_vit_large_patch16,
+                    "mae_vit_huge_patch14": mae_vit_huge_patch14}
+        if name not in builders:
+            raise ValueError(f"unknown MAE model {name}")
+        return builders[name](img_size=cfg.image_size, dtype=dtype)
     if name.startswith("capi"):
-        # CAPI ViT-L/14: converted checkpoints run through the generic ViT
-        return VIT_CONFIGS["vit_large_patch16"]().replace(
-            patch_size=14, class_token=False, final_norm="ln", **kw)
+        # CAPI ViT-L/14 (models_capi.py): no [CLS], 16 registers, register-
+        # mean global repr; config from wrappers.py (single source of truth)
+        from .wrappers import capi_config
+        return capi_config(cfg.image_size, dtype).replace(
+            attn_impl=kw["attn_impl"], scan_blocks=kw["scan_blocks"])
     if name.startswith("dinov2"):
-        size = {"dinov2_vitb14": (768, 12, 12), "dinov2_vitl14": (1024, 24, 16),
-                "dinov2_vits14": (384, 12, 6)}.get(name, (1024, 24, 16))
-        return ViTConfig(
-            embed_dim=size[0], depth=size[1], num_heads=size[2], patch_size=14,
-            init_values=1.0e-5, final_norm="ln", **kw)
+        from .wrappers import dinov2_config
+        return dinov2_config(name, cfg.image_size, dtype).replace(
+            attn_impl=kw["attn_impl"], scan_blocks=kw["scan_blocks"])
     if name not in VIT_CONFIGS:
         raise ValueError(f"unknown model {name}")
     extra = {}
     if "huge" in name:
         extra["class_token"] = not cfg.no_cls_token
     return VIT_CONFIGS[name](**extra).replace(**kw)
+
+
+def oracle_config(backbone_cfg: ViTConfig) -> ViTConfig:
+    """Config of the frozen DINO-teacher oracle used by the `dino` feature
+    mode (models_vit.py:462-476 `_timm_oracle`: timm vit_base_patch16_224.dino
+    for real-size backbones; a plain twin for tiny test backbones)."""
+    cfg = backbone_cfg.replace(
+        init_values=None, rel_pos_bias="none", use_abs_pos_emb=True,
+        qkv_bias_mode="full", class_token=True, reg_tokens=0,
+        cls_from_registers=False, pre_norm=False, proj_dim=None,
+        scan_blocks=False)  # the oracle needs its final attention
+    if backbone_cfg.embed_dim >= 384:  # real runs: DINO ViT-B/16
+        cfg = cfg.replace(embed_dim=768, depth=12, num_heads=12,
+                          patch_size=16)
+    return cfg
 
 
 class ProbeModel(nn.Module):
@@ -71,7 +102,19 @@ class ProbeModel(nn.Module):
         cfg = self.cfg
         mode = remap_features(cfg.cls_features)
 
-        if mode == "dino":
+        from .mae import MAEConfig, MaskedAutoencoderViT
+        if isinstance(self.backbone_cfg, MAEConfig):
+            # MAE-latent probing (working stand-in for the reference's
+            # vestigial MaskedAutoencoderViT eval/extract branches,
+            # engine_finetune.py:133-135,193-196): deterministic full-token
+            # encoder pass, then the same token-mode selection as the ViT.
+            latent, _, _ = MaskedAutoencoderViT(
+                self.backbone_cfg, name="backbone")(
+                images, mask_ratio=0.0, return_latent=True)
+            feats = VisionTransformer._select_features(
+                mode, latent, latent[:, 0], latent[:, 1:], None,
+                self.backbone_cfg)
+        elif mode == "dino":
             # oracle-weighted pooling (models_vit.py:350-363): patch tokens of
             # the probed backbone weighted by a frozen DINO teacher's final
             # cls→patch attention. Oracle weights come from the converter
@@ -79,16 +122,9 @@ class ProbeModel(nn.Module):
             raw, _, _ = VisionTransformer(self.backbone_cfg, name="backbone")(
                 images, "raw", cfg.return_block)
             fm = raw[:, self.backbone_cfg.num_prefix_tokens:]
-            oracle_cfg = self.backbone_cfg.replace(
-                init_values=None, rel_pos_bias="none", use_abs_pos_emb=True,
-                qkv_bias_mode="full", class_token=True, reg_tokens=0,
-                scan_blocks=False)  # the oracle needs its final attention
-            if self.backbone_cfg.embed_dim >= 384:  # real runs: DINO ViT-B/16
-                oracle_cfg = oracle_cfg.replace(
-                    embed_dim=768, depth=12, num_heads=12, patch_size=16)
             _, _, _, (d_attn, _) = VisionTransformer(
-                oracle_cfg, name="oracle")(images, "cls",
-                                           return_final_attn=True)
+                oracle_config(self.backbone_cfg), name="oracle")(
+                images, "cls", return_final_attn=True)
             d_attn = jax.lax.stop_gradient(d_attn[:, :, 0, 1:])  # (B, H, N)
             feats = (fm[:, None] * d_attn[..., None].astype(fm.dtype)
                      ).mean(axis=(1, 2))

@@ -68,12 +68,21 @@ class ViTConfig:
     qkv_bias_mode: str = "full"  # full | qv_only (BEiT/SimMIM)
     class_token: bool = True
     reg_tokens: int = 0
+    cls_from_registers: bool = False  # CAPI: global_repr = register-token
+    # mean (models_capi.py:21 returns (global_repr, registers, feature_map);
+    # there is no [CLS] — the image-level representation is pooled from the
+    # 16 registers)
     use_abs_pos_emb: bool = True
     rel_pos_bias: str = "none"  # none | shared | per_block
     init_values: Optional[float] = None  # LayerScale
     final_norm: str = "none"  # none | ln
     norm_eps: float = 1e-6
-    mlp_type: str = "gelu"  # gelu | swiglu
+    mlp_type: str = "gelu"  # gelu | swiglu | quick_gelu (OpenAI CLIP)
+    pre_norm: bool = False  # OpenCLIP towers: LayerNorm after pos-embed add,
+    # before the transformer (open_clip VisionTransformer.ln_pre)
+    proj_dim: Optional[int] = None  # OpenCLIP visual projection: the pooled
+    # cls token maps D -> proj_dim (models_more.py:55-60 — cls-path embed
+    # dim differs from the patch-token width)
     attn_impl: str = "xla"  # xla | pallas (fused flash-attention kernel)
     scan_blocks: bool = False  # lax.scan over layers: one traced block body
     # (depth× smaller HLO, much faster compiles for deep ViTs); params live
@@ -140,11 +149,15 @@ class Mlp(nn.Module):
     hidden: int
     out: int
     dtype: Any = jnp.bfloat16
+    act: str = "gelu"  # gelu | quick_gelu (x*sigmoid(1.702x), OpenAI CLIP)
 
     @nn.compact
     def __call__(self, x):
         x = nn.Dense(self.hidden, dtype=self.dtype, name="fc1")(x)
-        x = nn.gelu(x, approximate=False)
+        if self.act == "quick_gelu":
+            x = x * nn.sigmoid(1.702 * x)
+        else:
+            x = nn.gelu(x, approximate=False)
         x = nn.Dense(self.out, dtype=self.dtype, name="fc2")(x)
         return x
 
@@ -251,8 +264,11 @@ class Block(nn.Module):
             y = LayerScale(D, c.init_values, "_1", name="ls1")(y)
         x = x + y
         h = nn.LayerNorm(epsilon=c.norm_eps, dtype=c.dtype, name="norm2")(x)
-        mlp_cls = SwiGLUMlp if c.mlp_type == "swiglu" else Mlp
-        m = mlp_cls(int(D * c.mlp_ratio), D, dtype=c.dtype, name="mlp")(h)
+        if c.mlp_type == "swiglu":
+            m = SwiGLUMlp(int(D * c.mlp_ratio), D, dtype=c.dtype, name="mlp")(h)
+        else:
+            m = Mlp(int(D * c.mlp_ratio), D, dtype=c.dtype, act=c.mlp_type,
+                    name="mlp")(h)
         if c.init_values is not None:
             m = LayerScale(D, c.init_values, "_2", name="ls2")(m)
         x = x + m
@@ -323,6 +339,10 @@ class VisionTransformer(nn.Module):
                 from ep_tpu.utils.pos_embed import interpolate_pos_embed
                 pos = interpolate_pos_embed(pos, N, c.num_prefix_tokens)
             x = x + pos.astype(c.dtype)
+
+        if c.pre_norm:  # OpenCLIP ln_pre
+            x = nn.LayerNorm(epsilon=c.norm_eps, dtype=c.dtype,
+                             name="norm_pre")(x)
 
         # --- token shuffling into subsets (models_vit.py:224-239) ------------
         # partition the N patch tokens into `shuffle_subsets` random groups
@@ -429,9 +449,20 @@ class VisionTransformer(nn.Module):
         if c.class_token:
             x_cls = x[:, 0]
             x_pos = x[:, n_prefix:]
+        elif c.cls_from_registers and c.reg_tokens:
+            x_cls = x[:, :c.reg_tokens].mean(axis=1)  # CAPI global_repr
+            x_pos = x[:, n_prefix:]
         else:
             x_cls = jnp.zeros((B, D), c.dtype)  # reference pads with zeros
             x_pos = x[:, n_prefix:]
+
+        if c.proj_dim and return_features == "cls":
+            # OpenCLIP: pooled = ln_post(cls) @ visual.proj — the projection
+            # applies to the cls path only; patch tokens stay at width D
+            # (models_more.py:55-60)
+            proj = self.param("proj", nn.initializers.normal(D ** -0.5),
+                              (D, c.proj_dim), jnp.float32)
+            x_cls = x_cls @ proj.astype(x_cls.dtype)
 
         ret = self._select_features(
             return_features, x, x_cls, x_pos, final_probs, c

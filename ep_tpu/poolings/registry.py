@@ -108,6 +108,16 @@ class ProbeHead(nn.Module):
         cfg = self.cfg
         pool = build_pooling(cfg, self.dim, self.num_patches, self.dtype)
         attn = None
+        if pool is None and x.ndim == 3:
+            # plain LP fed token-shaped (B, N, D) input: the reference's
+            # Sequential(BN1d, Linear) crashes on this (--cls_features
+            # both/raw/pos into LP, main_linprobe.py:551); we run BN over
+            # the flattened token axis, which is probably not what the
+            # user meant — warn loudly instead of failing silently.
+            print(f"[warn] --cls_features {cfg.cls_features} feeds "
+                  f"token-shaped {tuple(x.shape)} features into a plain "
+                  f"LP head (the reference errors here); did you mean a "
+                  f"pooling head or cls/gap?")
         if pool is not None:
             if base_name(cfg.cls_features) in _BN_POOLS:
                 out = pool(x, train=train, return_attn=return_attn)

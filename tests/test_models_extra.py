@@ -1,4 +1,4 @@
-"""MAE autoencoder, token-source wrappers, SimMIM converter layout."""
+"""MAE autoencoder, hub-family backbone configs, SimMIM converter layout."""
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -7,7 +7,6 @@ import pytest
 from ep_tpu.configs import TrainConfig
 from ep_tpu.models.mae import MAEConfig, MaskedAutoencoderViT, random_masking
 from ep_tpu.models.vit import ViTConfig
-from ep_tpu.models.wrappers import TokenSourceWrapper
 
 
 def test_random_masking_semantics(rng):
@@ -39,23 +38,63 @@ def test_mae_forward_loss(rng):
                                atol=1e-6)
 
 
-@pytest.mark.parametrize("cls_features", ["cls", "ep", "ep_all"])
-def test_token_source_wrapper(rng, cls_features):
+def test_hub_family_config_dispatch():
+    """assembly and wrappers agree (round-1 Weak #3: they diverged); the
+    CLI's capi/dinov2/openclip model names resolve to the wrappers configs."""
+    from ep_tpu.models.assembly import build_backbone_config
+    from ep_tpu.models.wrappers import capi_config, dinov2_config
+
+    cfg = TrainConfig(model="capi_vitl14_in1k", amp="float32")
+    got = build_backbone_config(cfg)
+    want = capi_config(224, jnp.float32)
+    assert (got.class_token, got.reg_tokens, got.cls_from_registers,
+            got.patch_size, got.embed_dim, got.depth) == \
+        (want.class_token, want.reg_tokens, want.cls_from_registers,
+         want.patch_size, want.embed_dim, want.depth)
+    assert got.reg_tokens == 16 and not got.class_token
+
+    got = build_backbone_config(TrainConfig(model="dinov2_vitb14",
+                                            amp="float32"))
+    assert (got.embed_dim, got.depth, got.reg_tokens) == (768, 12, 0)
+    got = build_backbone_config(TrainConfig(model="dinov2_vitb14_reg",
+                                            amp="float32"))
+    assert (got.embed_dim, got.reg_tokens) == (768, 4)
+    # giant tower: SwiGLU
+    assert dinov2_config("dinov2_vitg14").mlp_type == "swiglu"
+    assert dinov2_config("dinov2_vitb14").mlp_type == "gelu"
+
+
+def test_mae_model_dispatch():
+    from ep_tpu.models.assembly import build_backbone_config
+    got = build_backbone_config(
+        TrainConfig(model="mae_vit_base_patch16", amp="float32"))
+    assert isinstance(got, MAEConfig)
+    assert (got.embed_dim, got.depth) == (768, 12)
+
+
+def test_cls_from_registers(rng):
+    """CAPI-style global repr: with no [CLS], `cls` mode returns the mean of
+    the register tokens, not zeros (models_capi.py:21)."""
     bcfg = ViTConfig(img_size=16, patch_size=4, embed_dim=32, depth=1,
-                     num_heads=2, dtype=jnp.float32, final_norm="ln")
-    cfg = TrainConfig(cls_features=cls_features, nb_classes=5, ep_queries=4,
-                      pallas_pool=False)
-    w = TokenSourceWrapper(bcfg, cfg)
+                     num_heads=2, class_token=False, reg_tokens=3,
+                     cls_from_registers=True, final_norm="ln",
+                     dtype=jnp.float32)
+    from ep_tpu.models.vit import VisionTransformer
+    m = VisionTransformer(bcfg)
     imgs = jax.random.normal(rng, (2, 16, 16, 3))
-    vars_ = w.init(rng, imgs, train=True)
-    (logits, feats), _ = w.apply(vars_, imgs, train=True,
-                                 return_backbone_features=True,
-                                 mutable=["batch_stats"])
-    assert logits.shape == (2, 5)
-    if cls_features == "cls":
-        assert feats.shape == (2, 32)
-    else:
-        assert feats.shape == (2, 16, 32)
+    vars_ = m.init(rng, imgs, "cls")
+    x_cls, _, _ = m.apply(vars_, imgs, "cls")
+    raw, _, _ = m.apply(vars_, imgs, "raw")
+    np.testing.assert_allclose(np.asarray(x_cls),
+                               np.asarray(raw[:, :3].mean(axis=1)),
+                               rtol=1e-5, atol=1e-5)
+    # patch stream excludes registers
+    pos, _, _ = m.apply(vars_, imgs, "pos")
+    assert pos.shape == (2, 16, 32)
+    # without the flag, the reference's zero-padding behavior is kept
+    m0 = VisionTransformer(bcfg.replace(cls_from_registers=False))
+    z, _, _ = m0.apply(vars_, imgs, "cls")
+    assert float(np.abs(np.asarray(z)).sum()) == 0.0
 
 
 def test_simmim_converter_roundtrip(rng):
