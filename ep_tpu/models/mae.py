@@ -97,7 +97,8 @@ class MaskedAutoencoderViT(nn.Module):
     def __call__(self, imgs: jnp.ndarray, mask_ratio: float = 0.75,
                  *, rng: jax.Array = None, return_latent: bool = False):
         c = self.cfg
-        rng = rng if rng is not None else self.make_rng("masking")
+        if mask_ratio > 0.0:
+            rng = rng if rng is not None else self.make_rng("masking")
 
         # --- encoder (models_mae.py:151-171) --------------------------------
         pos = jnp.asarray(get_2d_sincos_pos_embed(
@@ -107,7 +108,14 @@ class MaskedAutoencoderViT(nn.Module):
                     dtype=c.dtype, name="patch_embed")(imgs.astype(c.dtype))
         x = x.reshape(imgs.shape[0], -1, c.embed_dim)
         x = x + pos[:, 1:].astype(c.dtype)
-        x, mask, ids_restore = random_masking(x, mask_ratio, rng)
+        if mask_ratio > 0.0:
+            x, mask, ids_restore = random_masking(x, mask_ratio, rng)
+        else:
+            # deterministic full-token pass (probing on the MAE latent):
+            # no shuffle, so patch tokens stay in spatial order
+            B_, L_ = x.shape[0], x.shape[1]
+            mask = jnp.zeros((B_, L_))
+            ids_restore = jnp.broadcast_to(jnp.arange(L_), (B_, L_))
         cls_tok = self.param("cls_token", nn.initializers.normal(0.02),
                              (1, 1, c.embed_dim), jnp.float32)
         cls = (cls_tok + pos[:, :1]).astype(c.dtype)

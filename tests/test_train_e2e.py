@@ -148,3 +148,23 @@ def test_ep_d_out(tmp_path):
         (tmp_path / "checkpoint-.msgpack").read_bytes())
     fc_kernel = payload["model"]["head"]["fc"]["kernel"]
     assert fc_kernel.shape[0] == 32 // 2  # TINY embed_dim // d_out
+
+
+@pytest.mark.parametrize("head", ["gap", "ep"])
+def test_mae_latent_probing(tmp_path, monkeypatch, head):
+    """--model mae_vit_*: probing consumes the MAE encoder latent (working
+    equivalent of the reference's vestigial MaskedAutoencoderViT branches,
+    engine_finetune.py:133-135,193-196)."""
+    import ep_tpu.cli.linprobe as linprobe
+    from ep_tpu.models.mae import MAEConfig
+
+    tiny_mae = MAEConfig(img_size=16, patch_size=4, embed_dim=32, depth=2,
+                         num_heads=2, decoder_embed_dim=16, decoder_depth=1,
+                         decoder_num_heads=2, dtype=jnp.float32)
+    monkeypatch.setattr(assembly, "build_backbone_config",
+                        lambda cfg: tiny_mae)
+    monkeypatch.setattr(linprobe, "build_backbone_config",
+                        lambda cfg: tiny_mae)
+    res = main(_cfg(tmp_path, model="mae_vit_base_patch16", cls_features=head,
+                    ep_queries=4, d_out=1, pallas_pool=False, epochs=4))
+    assert res["max_accuracy"] > 40.0  # chance = 25%
