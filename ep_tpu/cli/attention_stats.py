@@ -19,7 +19,7 @@ import numpy as np
 from ep_tpu.configs import TrainConfig
 from ep_tpu.data.datasets import build_datasets
 from ep_tpu.data.loader import DataLoader
-from ep_tpu.data.transforms import ValTransform
+from ep_tpu.data.transforms import build_transforms_v2
 from ep_tpu.models.assembly import build_backbone_config
 from ep_tpu.models.vit import VisionTransformer
 from ep_tpu.parallel.mesh import make_mesh, shard_batch
@@ -43,6 +43,10 @@ def get_args_parser():
                    help="cap the number of val batches (0 = all)")
     p.add_argument("--draw_2d_embeddings", action="store_true", default=False)
     p.add_argument("--amp", default="bfloat16", type=str)
+    p.add_argument("--dino_aug", action="store_true", default=False,
+                   help="DINO-style train augmentation in the v2 dataset "
+                        "builder (util/datasets.py:21-34); the stats pass "
+                        "itself always reads the val split")
     return p
 
 
@@ -121,9 +125,13 @@ def main(args):
         variables = {"params": torch_vit_to_flax(sd, variables["params"],
                                                  backbone_cfg)}
 
+    # the v2 (DINO-style) dataset builder's val protocol: Resize(16/14) +
+    # CenterCrop, or plain Normalize(0.5,0.5) for cifar
+    # (main_attention_stats.py:81 → util/datasets.py:13-63)
+    _, transform_val = build_transforms_v2(
+        cfg.image_size, cfg.dataset_name, getattr(args, "dino_aug", False))
     _, dataset_val = build_datasets(cfg)
-    loader = DataLoader(dataset_val, cfg.batch_size,
-                        ValTransform(cfg.image_size),
+    loader = DataLoader(dataset_val, cfg.batch_size, transform_val,
                         num_workers=cfg.num_workers)
 
     if args.output_dir:

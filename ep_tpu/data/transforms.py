@@ -98,13 +98,17 @@ class TrainTransform:
 
 
 class ValTransform:
-    """Resize(short side = image_size*256/224) + CenterCrop + normalize."""
+    """Resize(short side = image_size*256/224) + CenterCrop + normalize.
+
+    ``resize_to`` overrides the pre-crop size (build_dataset_v2 uses the
+    truncated ``int(input_size*16/14)``, util/datasets.py:38)."""
 
     def __init__(self, image_size: int = 224, mean=IMAGENET_MEAN,
-                 std=IMAGENET_STD):
+                 std=IMAGENET_STD, resize_to: int = None):
         self.mean, self.std = mean, std
         self.image_size = image_size
-        self.resize_to = int(round(image_size * 256 / 224))
+        self.resize_to = (resize_to if resize_to is not None
+                          else int(round(image_size * 256 / 224)))
 
     def __call__(self, img, rng=None) -> np.ndarray:
         if isinstance(img, np.ndarray):
@@ -136,6 +140,101 @@ def _color_jitter(arr: np.ndarray, rng: np.random.Generator,
     gray = x @ np.array([0.299, 0.587, 0.114], np.float32)
     x = (x - gray[..., None]) * s + gray[..., None]
     return np.clip(x, 0, 255).astype(np.uint8)
+
+
+class DinoAugTransform:
+    """DINO-style train augmentation (util/datasets.py:22-34):
+    RandomResizedCrop(scale 0.4-1.0, bicubic) + hflip(0.5) +
+    ColorJitter(0.4, 0.4, 0.2, 0.1) @ p=0.8 + grayscale @ p=0.2 +
+    GaussianBlur(sigma 0.1-2.0) @ p=0.1 + solarize(128) @ p=0.2."""
+
+    def __init__(self, image_size: int = 224, mean=IMAGENET_MEAN,
+                 std=IMAGENET_STD):
+        self.image_size = image_size
+        self.mean, self.std = mean, std
+
+    def __call__(self, img, rng: np.random.Generator) -> np.ndarray:
+        if isinstance(img, np.ndarray):
+            img = Image.fromarray(img)
+        img = img.convert("RGB")
+        s = self.image_size
+        w, h = img.size
+        i, j, hh, ww = tf_random_resized_crop_params(
+            rng, w, h, scale=(0.4, 1.0))
+        img = img.resize((s, s), BICUBIC, box=(j, i, j + ww, i + hh))
+        if rng.random() < 0.1:
+            from PIL import ImageFilter
+            img = img.filter(ImageFilter.GaussianBlur(
+                radius=rng.uniform(0.1, 2.0)))
+        arr = np.asarray(img)
+        if rng.random() < 0.5:
+            arr = arr[:, ::-1]
+        if rng.random() < 0.8:
+            arr = _dino_color_jitter(np.ascontiguousarray(arr), rng)
+        if rng.random() < 0.2:  # grayscale
+            gray = (arr.astype(np.float32)
+                    @ np.array([0.299, 0.587, 0.114], np.float32))
+            arr = np.clip(gray, 0, 255).astype(np.uint8)[..., None].repeat(3, -1)
+        if rng.random() < 0.2:  # solarize(threshold=128)
+            arr = np.where(arr >= 128, 255 - arr, arr).astype(np.uint8)
+        return normalize(np.ascontiguousarray(arr), self.mean, self.std)
+
+
+def _dino_color_jitter(arr: np.ndarray, rng: np.random.Generator
+                       ) -> np.ndarray:
+    """ColorJitter(brightness=0.4, contrast=0.4, saturation=0.2, hue=0.1):
+    torchvision applies the four ops in a random order with uniform factors."""
+    ops = list(rng.permutation(4))
+    x = arr.astype(np.float32)
+    for op in ops:
+        if op == 0:  # brightness
+            x = np.clip(x * rng.uniform(0.6, 1.4), 0, 255)
+        elif op == 1:  # contrast
+            m = (x @ np.array([0.299, 0.587, 0.114], np.float32)).mean()
+            x = np.clip((x - m) * rng.uniform(0.6, 1.4) + m, 0, 255)
+        elif op == 2:  # saturation
+            g = x @ np.array([0.299, 0.587, 0.114], np.float32)
+            x = np.clip((x - g[..., None]) * rng.uniform(0.8, 1.2)
+                        + g[..., None], 0, 255)
+        else:  # hue shift in HSV space
+            shift = rng.uniform(-0.1, 0.1)
+            hsv = np.asarray(Image.fromarray(
+                x.astype(np.uint8)).convert("HSV")).copy()
+            hsv[..., 0] = (hsv[..., 0].astype(np.int16)
+                           + int(shift * 255)) % 256
+            x = np.asarray(Image.fromarray(hsv, "HSV").convert("RGB")
+                           ).astype(np.float32)
+    return x.astype(np.uint8)
+
+
+class PlainCifarTransform:
+    """build_dataset_v2's cifar branch (util/datasets.py:48): no resize/crop,
+    ToTensor + Normalize(0.5, 0.5)."""
+
+    def __init__(self):
+        self.mean = np.array([0.5, 0.5, 0.5], np.float32)
+        self.std = np.array([0.5, 0.5, 0.5], np.float32)
+
+    def __call__(self, img, rng=None) -> np.ndarray:
+        if not isinstance(img, np.ndarray):
+            img = np.asarray(img.convert("RGB"))
+        return normalize(np.ascontiguousarray(img), self.mean, self.std)
+
+
+def build_transforms_v2(image_size: int, dataset_name: str = "",
+                        dino_aug: bool = False):
+    """The DINO-style builder used by the attention-stats driver
+    (util/datasets.py:13-63 ``build_dataset_v2``): train = RRC(0.2-1.0) or
+    the DINO aug stack; val = Resize(int(size*16/14)) + CenterCrop; cifar
+    datasets bypass both for plain Normalize(0.5, 0.5)."""
+    if "cifar" in dataset_name:
+        assert image_size == 32, image_size
+        t = PlainCifarTransform()
+        return t, t
+    train = (DinoAugTransform(image_size) if dino_aug
+             else TrainTransform(image_size, scale=(0.2, 1.0)))
+    val = ValTransform(image_size, resize_to=int(image_size * 16 / 14))
+    return train, val
 
 
 def build_transforms(cfg):

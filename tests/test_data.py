@@ -114,3 +114,39 @@ def test_grain_loader_matches_thread_loader_sharding():
         b.set_epoch(4)
         np.testing.assert_array_equal(a._indices(), b._indices())
         assert len(a) == len(b)
+
+
+def test_build_transforms_v2():
+    """v2 (DINO-style) builder: val = Resize(int(size*16/14)) + CenterCrop;
+    dino_aug swaps the train stack; cifar bypasses to Normalize(0.5,0.5)."""
+    import numpy as np
+    from ep_tpu.data.transforms import (DinoAugTransform, PlainCifarTransform,
+                                        TrainTransform, build_transforms_v2)
+
+    rng = np.random.default_rng(0)
+    img = (rng.random((64, 48, 3)) * 255).astype(np.uint8)
+
+    tr, va = build_transforms_v2(32)
+    assert isinstance(tr, TrainTransform) and tr.scale == (0.2, 1.0)
+    assert va.resize_to == int(32 * 16 / 14)  # truncated, not rounded
+    assert va(img).shape == (32, 32, 3)
+
+    tr, _ = build_transforms_v2(32, dino_aug=True)
+    assert isinstance(tr, DinoAugTransform)
+    out = tr(img, np.random.default_rng(1))
+    assert out.shape == (32, 32, 3) and out.dtype == np.float32
+    # deterministic under a fixed rng
+    out2 = tr(img, np.random.default_rng(1))
+    np.testing.assert_array_equal(out, out2)
+    # aug branches all execute across seeds without error
+    for s in range(20):
+        tr(img, np.random.default_rng(s))
+
+    tr, va = build_transforms_v2(32, dataset_name="cifar10")
+    assert isinstance(tr, PlainCifarTransform) and tr is va
+    cif = (rng.random((32, 32, 3)) * 255).astype(np.uint8)
+    out = va(cif)
+    assert out.shape == (32, 32, 3)
+    # Normalize(0.5, 0.5): x/255*2-1 range
+    np.testing.assert_allclose(out, cif.astype(np.float32) / 255 * 2 - 1,
+                               atol=1e-5)
