@@ -100,6 +100,9 @@ class TrainConfig:
     device: str = "tpu"
     seed: int = 0
     finetune: str = ""
+    oracle_ckpt: str = ""  # local DINO-teacher weights for --cls_features
+    # dino (the reference pulls timm vit_base_patch16_224.dino from the hub,
+    # models_vit.py:462-476; zero-egress: user supplies the file)
     resume: str = ""
     start_epoch: int = 0
     eval: bool = False
@@ -202,6 +205,9 @@ def get_args_parser() -> argparse.ArgumentParser:
     p.add_argument("--device", default=d.device)
     p.add_argument("--seed", default=d.seed, type=int)
     p.add_argument("--finetune", default="")
+    p.add_argument("--oracle_ckpt", default=d.oracle_ckpt, type=str,
+                   help="local DINO teacher checkpoint for --cls_features "
+                        "dino (.pth or converted .msgpack)")
     p.add_argument("--resume", default="")
     p.add_argument("--start_epoch", default=0, type=int, metavar="N")
     p.add_argument("--eval", action="store_true")

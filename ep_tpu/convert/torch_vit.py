@@ -37,6 +37,12 @@ def load_torch_state_dict(path: str, checkpoint_key: str = "model") -> Dict[str,
         ckpt = ckpt[checkpoint_key]
     elif isinstance(ckpt, dict) and "state_dict" in ckpt:
         ckpt = ckpt["state_dict"]
+    if any(k.startswith("visual.") for k in ckpt):
+        # full CLIP checkpoint: keep the vision tower only — the text tower
+        # has its own 'transformer.resblocks' that would collide after the
+        # prefix strip (models_more.py:43-60 wraps backbone.visual)
+        ckpt = {k[len("visual."):]: v for k, v in ckpt.items()
+                if k.startswith("visual.")}
     sd = {}
     for k, v in ckpt.items():
         for pref in ("encoder.", "module.", "backbone."):
@@ -46,6 +52,47 @@ def load_torch_state_dict(path: str, checkpoint_key: str = "model") -> Dict[str,
             continue
         sd[k] = _np(v)
     return sd
+
+
+def _remap_openclip(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """OpenCLIP visual-tower keys → canonical timm-style keys
+    (open_clip VisionTransformer: conv1/class_embedding/positional_embedding/
+    ln_pre/transformer.resblocks.{i}/ln_post/proj; reference loads these via
+    open_clip.create_model_and_transforms, main_linprobe.py:352-359)."""
+    top = {"conv1.weight": "patch_embed.proj.weight",
+           "ln_pre.weight": "norm_pre.weight",
+           "ln_pre.bias": "norm_pre.bias",
+           "ln_post.weight": "norm.weight",
+           "ln_post.bias": "norm.bias",
+           "proj": "visual_proj"}
+    block = {"ln_1.weight": "norm1.weight", "ln_1.bias": "norm1.bias",
+             "attn.in_proj_weight": "attn.qkv.weight",
+             "attn.in_proj_bias": "attn.qkv.bias",
+             "attn.out_proj.weight": "attn.proj.weight",
+             "attn.out_proj.bias": "attn.proj.bias",
+             "ln_2.weight": "norm2.weight", "ln_2.bias": "norm2.bias",
+             "mlp.c_fc.weight": "mlp.fc1.weight",
+             "mlp.c_fc.bias": "mlp.fc1.bias",
+             "mlp.c_proj.weight": "mlp.fc2.weight",
+             "mlp.c_proj.bias": "mlp.fc2.bias"}
+    out = {}
+    for k, v in sd.items():
+        if k == "class_embedding":
+            out["cls_token"] = v.reshape(1, 1, -1)
+        elif k == "positional_embedding":
+            out["pos_embed"] = v[None]
+        elif k in top:
+            out[top[k]] = v
+        elif k.startswith("transformer.resblocks."):
+            parts = k.split(".")
+            rest = ".".join(parts[3:])
+            if rest in block:
+                out[f"blocks.{parts[2]}.{block[rest]}"] = v
+            else:
+                out[k] = v
+        else:
+            out[k] = v
+    return out
 
 
 def torch_vit_to_flax(sd: Dict[str, np.ndarray], template: Dict[str, Any],
@@ -63,6 +110,15 @@ def torch_vit_to_flax(sd: Dict[str, np.ndarray], template: Dict[str, Any],
             jax.tree_util.tree_map(np.asarray, template), backbone_cfg.depth)
         converted = torch_vit_to_flax(sd, loop_template, backbone_cfg)
         return stack_block_params(converted, backbone_cfg.depth)
+
+    if any(k.startswith("transformer.resblocks.") or k == "class_embedding"
+           for k in sd):
+        sd = _remap_openclip(sd)
+    if "storage_tokens" in sd and "register_tokens" not in sd:
+        # CAPI names its register tokens 'storage_tokens' (hub layout,
+        # models_capi.py wraps facebookresearch/capi)
+        sd = dict(sd)
+        sd["register_tokens"] = sd.pop("storage_tokens")
 
     out = jax.tree_util.tree_map(np.asarray, template)
     used = set()
@@ -85,7 +141,8 @@ def torch_vit_to_flax(sd: Dict[str, np.ndarray], template: Dict[str, Any],
     if "patch_embed.proj.weight" in sd:
         w = take("patch_embed.proj.weight")  # (D, 3, p, p)
         put(("patch_embed", "kernel"), w.transpose(2, 3, 1, 0))
-        put(("patch_embed", "bias"), take("patch_embed.proj.bias"))
+        if "patch_embed.proj.bias" in sd:  # CLIP conv1 has no bias
+            put(("patch_embed", "bias"), take("patch_embed.proj.bias"))
     if "cls_token" in sd and "cls_token" in out:
         put(("cls_token",), take("cls_token"))
     if "register_tokens" in sd and "reg_tokens" in out:
@@ -157,9 +214,16 @@ def torch_vit_to_flax(sd: Dict[str, np.ndarray], template: Dict[str, Any],
     if "norm.weight" in sd and "norm" in out:
         put(("norm", "scale"), take("norm.weight"))
         put(("norm", "bias"), take("norm.bias"))
+    if "norm_pre.weight" in sd and "norm_pre" in out:  # OpenCLIP ln_pre
+        put(("norm_pre", "scale"), take("norm_pre.weight"))
+        put(("norm_pre", "bias"), take("norm_pre.bias"))
+    if "visual_proj" in sd and "proj" in out:
+        # (D, proj_dim), used as x @ proj in open_clip — no transpose
+        put(("proj",), take("visual_proj"))
 
     leftovers = [k for k in sd if k not in used
-                 and not k.startswith(("head", "fc_norm", "oracle", "fc."))]
+                 and not k.startswith(("head", "fc_norm", "oracle", "fc.",
+                                       "visual_proj"))]
     if leftovers:
         print(f"[convert] unused checkpoint keys: {sorted(leftovers)[:10]}"
               f"{' ...' if len(leftovers) > 10 else ''}")
@@ -187,7 +251,29 @@ def load_pretrained_backbone(cfg, backbone_cfg, variables):
     return {**variables, "params": new_params}
 
 
-def _try_msgpack(path: str, template):
+def load_oracle(cfg, backbone_cfg, variables):
+    """Fill params['oracle'] (the frozen DINO teacher of the `dino` feature
+    mode) from --oracle_ckpt. Counterpart of models_vit.py:462-476
+    `_timm_oracle` (timm vit_base_patch16_224.dino) — zero-egress version:
+    the user supplies a local .pth/.msgpack in timm/DINO layout."""
+    from ep_tpu.models.assembly import oracle_config
+
+    params = variables["params"]
+    if "oracle" not in params:
+        raise ValueError("--oracle_ckpt given but the model has no oracle "
+                         "(use --cls_features dino)")
+    ocfg = oracle_config(backbone_cfg)
+    oracle = _try_msgpack(cfg.oracle_ckpt, params["oracle"])
+    if oracle is None:
+        sd = load_torch_state_dict(cfg.oracle_ckpt, cfg.checkpoint_key)
+        oracle = torch_vit_to_flax(sd, params["oracle"], ocfg)
+    print(f"[convert] loaded oracle weights from {cfg.oracle_ckpt}")
+    new_params = dict(params)
+    new_params["oracle"] = oracle
+    return {**variables, "params": new_params}
+
+
+def _try_msgpack(path: str, template, key: str = "backbone"):
     """Restore an already-converted flax backbone checkpoint, or None."""
     import flax.serialization as fser
     try:
@@ -195,7 +281,7 @@ def _try_msgpack(path: str, template):
             payload = fser.msgpack_restore(f.read())
     except Exception:
         return None
-    if not isinstance(payload, dict) or "backbone" not in payload:
+    if not isinstance(payload, dict) or key not in payload:
         return None
-    print("[convert] loading pre-converted flax backbone checkpoint")
-    return fser.from_state_dict(template, payload["backbone"])
+    print(f"[convert] loading pre-converted flax {key} checkpoint")
+    return fser.from_state_dict(template, payload[key])

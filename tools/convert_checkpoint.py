@@ -26,6 +26,9 @@ def main():
     ap.add_argument("--out", required=True)
     ap.add_argument("--checkpoint_key", default="model")
     ap.add_argument("--simmim", action="store_true")
+    ap.add_argument("--openclip", action="store_true",
+                    help="OpenCLIP visual tower (--model ViT-B-16 etc.)")
+    ap.add_argument("--openclip_pretrain", default="openai")
     ap.add_argument("--no_cls_token", action="store_true")
     ap.add_argument("--image_size", type=int, default=224)
     args = ap.parse_args()
@@ -41,6 +44,8 @@ def main():
     from ep_tpu.models.vit import VisionTransformer
 
     cfg = TrainConfig(model=args.model, simmim=args.simmim,
+                      openclip=args.openclip,
+                      openclip_pretrain=args.openclip_pretrain,
                       no_cls_token=args.no_cls_token,
                       image_size=args.image_size, amp="float32")
     backbone_cfg = build_backbone_config(cfg)
