@@ -43,12 +43,14 @@ def main():
     from ep_tpu.train.state import create_train_state
     from ep_tpu.train.steps import make_train_step
 
+    import os
     n_dev = len(jax.devices())
     cfg = TrainConfig(
         model="vit_base_patch16", cls_features="ep", ep_queries=32, d_out=1,
         nb_classes=1000, amp="bfloat16", batch_size=BATCH * n_dev,
         epochs=90, warmup_epochs=10, blr=0.1,
         eff_batch_size=BATCH * n_dev, pallas_pool=True,
+        attn_impl=os.environ.get("EP_TPU_BENCH_ATTN", "xla"),
         scan_blocks=True,  # depth× smaller HLO → predictable compile times
     )
     backbone_cfg = build_backbone_config(cfg)
@@ -83,26 +85,99 @@ def main():
         float(jax.device_get(metrics["loss"]))
     _log(f"compile+warmup took {time.perf_counter() - t0:.1f}s")
 
-    # per-step wall time with a hard device sync each step (median of K).
-    # Conservative: includes the host dispatch round-trip, which on this
-    # tunnelled single-chip setup is a real per-step cost.
+    # single-step wall time with a hard sync each step — includes the full
+    # host->relay->chip dispatch round-trip (reported for transparency)
     times = []
     for _ in range(MEASURE_STEPS):
         t0 = time.perf_counter()
         state, metrics = train_step(state, dimages, dlabels)
         float(jax.device_get(metrics["loss"]))
         times.append(time.perf_counter() - t0)
-    step_t = float(np.median(times))
-    _log(f"median step {step_t * 1000:.1f} ms over {MEASURE_STEPS} steps")
+    sync_t = float(np.median(times))
+    _log(f"median per-step-sync step {sync_t * 1000:.1f} ms "
+         f"over {MEASURE_STEPS} steps")
+
+    # pipelined throughput: K dispatched steps, one sync. This is how the
+    # training engine actually runs (metrics drain with a one-step lag,
+    # train/engine.py), so the dispatch RTT overlaps device compute.
+    K = 8
+    chain = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(K):
+            state, metrics = train_step(state, dimages, dlabels)
+        float(jax.device_get(metrics["loss"]))
+        chain.append((time.perf_counter() - t0) / K)
+    step_t = float(np.median(chain))
+    _log(f"median pipelined step {step_t * 1000:.1f} ms (chains of {K})")
 
     img_s_chip = cfg.batch_size / step_t / n_dev
     print(json.dumps({
         "metric": "probe-train images/sec/chip (frozen ViT-B/16 + EP32 head, "
-                  "bf16, bs512)",
+                  "bf16, bs512, pipelined)",
         "value": round(img_s_chip, 1),
         "unit": "images/sec/chip",
         "vs_baseline": round(img_s_chip / REF_BASELINE_IMG_S, 3),
+        "per_step_sync_img_s": round(cfg.batch_size / sync_t / n_dev, 1),
+        "cached_mode_img_s": _bench_cached_mode(cfg, mesh),
     }))
+
+
+def _bench_cached_mode(cfg, mesh):
+    """--cache_features throughput: the frozen backbone runs ONCE per split;
+    every probe epoch after that is head-only (EP pool + BN + fc fwd/bwd +
+    LARS) on cached tokens. This is the framework's real-world win over the
+    reference, which re-runs the frozen encoder 90x (SURVEY.md §7)."""
+    from ep_tpu.models.assembly import build_backbone_config
+    from ep_tpu.poolings.registry import ProbeHead
+    from ep_tpu.train.feature_cache import make_head_steps
+    from ep_tpu.train.lars import build_optimizer
+    from ep_tpu.train.schedule import make_lr_fn
+    from ep_tpu.train.state import create_train_state
+
+    backbone_cfg = build_backbone_config(cfg)
+    head = ProbeHead(cfg, backbone_cfg.embed_dim, backbone_cfg.num_patches,
+                     dtype=backbone_cfg.dtype)
+    T = backbone_cfg.num_patches + 1
+    rng = np.random.default_rng(1)
+    feats = jnp.asarray(
+        rng.normal(size=(cfg.batch_size, T, backbone_cfg.embed_dim))
+        .astype(np.float32), jnp.bfloat16)
+    labels = jnp.asarray(
+        rng.integers(0, cfg.nb_classes, size=(cfg.batch_size,)), jnp.int32)
+
+    try:
+        cpu = jax.devices("cpu")[0]
+    except RuntimeError:
+        cpu = None
+    with jax.default_device(cpu) if cpu else contextlib.nullcontext():
+        variables = head.init(jax.random.key(1),
+                              jnp.zeros((2, T, backbone_cfg.embed_dim)),
+                              train=True)
+    tx = build_optimizer("lars", 0.0)
+    state = create_train_state({"params": {"head": variables["params"]},
+                                "batch_stats": {"head": variables.get(
+                                    "batch_stats", {})}}, tx,
+                               finetuning=False)
+    state = jax.device_put(state, jax.devices()[0])
+    train_step, _ = make_head_steps(head, mesh, tx, make_lr_fn(cfg, 1000))
+    feats = jax.device_put(feats, jax.devices()[0])
+    labels = jax.device_put(labels, jax.devices()[0])
+
+    for _ in range(2):
+        state, m = train_step(state, feats, labels)
+        float(jax.device_get(m["loss"]))
+    K = 16
+    chain = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(K):
+            state, m = train_step(state, feats, labels)
+        float(jax.device_get(m["loss"]))
+        chain.append((time.perf_counter() - t0) / K)
+    step_t = float(np.median(chain))
+    _log(f"cached-mode median step {step_t * 1000:.2f} ms (chains of {K})")
+    return round(cfg.batch_size / step_t, 1)
 
 
 if __name__ == "__main__":

@@ -22,24 +22,28 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-G = 4  # heads per program
+G = 12  # heads per program (measured fastest at ViT-B bench shapes, r2:
+# 4.95/4.75/4.61 ms for G=4/8/12 vs 5.42 XLA; G=24 exceeds the 16MB VMEM
+# scoped limit — logits are (G, 256, 256) f32)
 
 
 def _flash_kernel(q_ref, k_ref, v_ref, out_ref, *, scale: float,
                   temperature: float, n_real: int):
-    # refs: (G, Tp, Dh)
-    q = q_ref[:].astype(jnp.float32)
-    k = k_ref[:].astype(jnp.float32)
+    # refs: (G, Tp, Dh). Inputs stay bf16 INTO the MXU (it accumulates f32
+    # natively from bf16 operands); upcasting first would run the matmul at
+    # the ~8x-slower f32 MXU rate — the round-1 kernel's mistake.
+    q = q_ref[:]
+    k = k_ref[:]
     v = v_ref[:]
 
     logits = jax.lax.dot_general(
-        q * scale, k,
+        q, k,
         dimension_numbers=(((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
-    ) / temperature  # (G, Tp, Tp)
-    tp = q.shape[1]
+    ) * (scale / temperature)  # (G, Tp, Tp) f32
+    tp = logits.shape[1]
     key_ok = jax.lax.broadcasted_iota(jnp.int32, (1, 1, tp), 2) < n_real
-    logits = jnp.where(key_ok, logits, -jnp.inf)
+    logits = jnp.where(key_ok, logits, -1e30)
     logits = logits - logits.max(axis=-1, keepdims=True)
     probs = jnp.exp(logits)
     probs = probs / probs.sum(axis=-1, keepdims=True)
@@ -60,8 +64,9 @@ def flash_attention(q, k, v, scale: float, temperature: float = 1.0,
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "temperature",
-                                              "interpret"))
-def _flash_forward(q, k, v, scale, temperature, interpret):
+                                              "interpret", "heads_per_prog"))
+def _flash_forward(q, k, v, scale, temperature, interpret,
+                   heads_per_prog=G):
     B, H, T, Dh = q.shape
     t_pad = max(128, ((T + 127) // 128) * 128)
     # the last dim may equal the full array dim, so Dh (e.g. 64) needs no
@@ -73,8 +78,9 @@ def _flash_forward(q, k, v, scale, temperature, interpret):
         return x.reshape(B * H, t_pad, d_pad)
 
     qp, kp, vp = prep(q), prep(k), prep(v)
-    grid = (B * H // G,) if (B * H) % G == 0 else (B * H,)
-    g = G if (B * H) % G == 0 else 1
+    gsize = heads_per_prog
+    grid = (B * H // gsize,) if (B * H) % gsize == 0 else (B * H,)
+    g = gsize if (B * H) % gsize == 0 else 1
 
     out = pl.pallas_call(
         functools.partial(_flash_kernel, scale=scale,
