@@ -50,7 +50,7 @@ def main():
         nb_classes=1000, amp="bfloat16", batch_size=BATCH * n_dev,
         epochs=90, warmup_epochs=10, blr=0.1,
         eff_batch_size=BATCH * n_dev, pallas_pool=True,
-        attn_impl=os.environ.get("EP_TPU_BENCH_ATTN", "xla"),
+        attn_impl=os.environ.get("EP_TPU_BENCH_ATTN", "pallas"),
         scan_blocks=True,  # depth× smaller HLO → predictable compile times
     )
     backbone_cfg = build_backbone_config(cfg)

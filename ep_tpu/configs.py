@@ -135,8 +135,11 @@ class TrainConfig:
     mesh_model: int = 1  # tensor-parallel axis size for huge backbones
     cache_features: bool = False  # extract frozen features once, train on cache
     pallas_pool: bool = True  # use the fused Pallas pooling kernel when it applies
-    attn_impl: str = "xla"  # encoder attention: xla | pallas (flash kernel;
-    # measured slower than XLA's fusion at N≈200 but wins for long-N probing)
+    attn_impl: str = "pallas"  # encoder attention: pallas | xla. pallas =
+    # the natural-layout fused kernel (ops/attn_fused_pallas.py), ~2.2x the
+    # XLA attention path at ViT-B shapes (r2); it silently falls back to
+    # the XLA path off-TPU and wherever rel-pos bias / attention capture
+    # need materialized probabilities
     use_grain: bool = False  # grain-backed input pipeline (worker processes)
     scan_blocks: bool = False  # lax.scan over encoder layers (depth× smaller
     # HLO; much faster compiles for ViT-L/H; diagnostics paths need it off)

@@ -205,21 +205,24 @@ class Attention(nn.Module):
         else:
             qkv = nn.Dense(3 * D, use_bias=c.qkv_bias, dtype=c.dtype, name="qkv")(x)
 
-        qkv = qkv.reshape(B, T, 3, H, head_dim).transpose(2, 0, 3, 1, 4)
-        q, k, v = qkv[0], qkv[1], qkv[2]
-
         probs = None
         if (c.attn_impl == "pallas" and not return_probs and rel_bias is None
                 and not self.is_initializing()
                 and jax.default_backend() == "tpu"):
-            from ep_tpu.ops.flash_attn_pallas import flash_attention
-            out = flash_attention(q, k, v, scale, temperature)
+            # natural-layout fused kernel: consumes the qkv Dense output
+            # directly and emits (B,T,D) — no (B,H,T,Dh) transpose tensors,
+            # no (B,H,T,T) probabilities in HBM. ~2.2x the XLA attention
+            # path at ViT-B bench shapes (r2: 3.86 vs 8.47 ms/block).
+            from ep_tpu.ops.attn_fused_pallas import attention_qkv_fused
+            out = attention_qkv_fused(qkv, H, scale, temperature)
         else:
+            qkv = qkv.reshape(B, T, 3, H, head_dim).transpose(2, 0, 3, 1, 4)
+            q, k, v = qkv[0], qkv[1], qkv[2]
             out = mha(q, k, v, scale, temperature=temperature, bias=rel_bias,
                       return_probs=return_probs)
             if return_probs:
                 out, probs = out
-        out = out.transpose(0, 2, 1, 3).reshape(B, T, D)
+            out = out.transpose(0, 2, 1, 3).reshape(B, T, D)
         out = nn.Dense(D, dtype=c.dtype, name="proj")(out)
         if return_probs:
             return out, probs

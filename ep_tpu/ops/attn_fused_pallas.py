@@ -1,0 +1,126 @@
+"""Natural-layout fused attention: consumes the qkv Dense output directly.
+
+``attention_qkv_fused(qkv)`` takes the (B, T, 3*H*Dh) tensor exactly as the
+backbone's fused qkv projection produces it and returns the attention output
+in (B, T, H*Dh) layout, ready for the output projection — no (B,H,T,Dh)
+transpose, no host-side padding, no (B,H,T,T) probability tensor in HBM.
+
+Motivation (r2 measurements at ViT-B bench shapes, bs512/T=197): XLA's attn
+core costs ~5.4 ms/block; the split-tensor flash kernel gets the core to
+~3.0 ms but forces q/k/v to materialize in (B*H, T, Dh) layout — the
+transpose out of the qkv tensor is ~2 ms/block of pure HBM copy that XLA
+would otherwise fuse. Keeping the kernel input in the qkv tensor's own
+layout removes that copy: one program per image slices the 12 heads out of
+VMEM (lane shifts), runs per-head QK^T -> softmax -> PV on the MXU/VPU, and
+writes back in token-major layout.
+
+The backbone uses this only on the frozen-encoder forward path (probing
+never differentiates the encoder); a custom VJP with XLA recompute keeps it
+safe under finetuning too.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(qkv_ref, out_ref, *, H: int, Dh: int, scale: float,
+            temperature: float):
+    D = H * Dh
+    qkv = qkv_ref[0]  # (T, 3D)
+    q = qkv[:, :D]
+    k = qkv[:, D:2 * D]
+    v = qkv[:, 2 * D:]
+    coef = scale / temperature
+    for h in range(H):
+        sl = slice(h * Dh, (h + 1) * Dh)
+        logits = jax.lax.dot_general(
+            q[:, sl], k[:, sl],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * coef  # (T, T) f32
+        logits = logits - logits.max(axis=-1, keepdims=True)
+        probs = jnp.exp(logits)
+        probs = probs / probs.sum(axis=-1, keepdims=True)
+        out_ref[0, :, sl] = jax.lax.dot_general(
+            probs.astype(v.dtype), v[:, sl],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(out_ref.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4, 5))
+def attention_qkv_fused(qkv, num_heads: int, scale: float,
+                        temperature: float = 1.0, interpret: bool = False,
+                        block_b: int = 1):
+    """(B, T, 3*H*Dh) fused-qkv tensor -> (B, T, H*Dh) attention output."""
+    return _fwd_impl(qkv, num_heads, scale, temperature, interpret, block_b)
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "scale",
+                                             "temperature", "interpret",
+                                             "block_b"))
+def _fwd_impl(qkv, num_heads, scale, temperature, interpret, block_b):
+    B, T, D3 = qkv.shape
+    D = D3 // 3
+    Dh = D // num_heads
+    out = pl.pallas_call(
+        functools.partial(_kernel, H=num_heads, Dh=Dh, scale=scale,
+                          temperature=temperature),
+        grid=(B,),
+        in_specs=[pl.BlockSpec((1, T, D3), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, T, D), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, T, D), qkv.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * num_heads * T * T * Dh,
+            bytes_accessed=qkv.size * qkv.dtype.itemsize * 2,
+            transcendentals=B * num_heads * T * T,
+        ),
+        interpret=interpret,
+    )(qkv)
+    return out
+
+
+def _split_heads(qkv, num_heads):
+    B, T, D3 = qkv.shape
+    D = D3 // 3
+    Dh = D // num_heads
+    x = qkv.reshape(B, T, 3, num_heads, Dh).transpose(2, 0, 3, 1, 4)
+    return x[0], x[1], x[2]  # (B, H, T, Dh) each
+
+
+def _fwd(qkv, num_heads, scale, temperature, interpret, block_b):
+    return (_fwd_impl(qkv, num_heads, scale, temperature, interpret,
+                      block_b), qkv)
+
+
+def _bwd(num_heads, scale, temperature, interpret, block_b, qkv, g):
+    """XLA recompute backward; the probing path never reaches this (the
+    encoder sits under stop_gradient)."""
+    B, T, D3 = qkv.shape
+    D = D3 // 3
+    Dh = D // num_heads
+    q, k, v = _split_heads(qkv, num_heads)
+    gh = g.reshape(B, T, num_heads, Dh).transpose(0, 2, 1, 3)
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q.astype(jnp.float32) * scale,
+                        k.astype(jnp.float32)) / temperature
+    a = jax.nn.softmax(logits, axis=-1)
+    g32 = gh.astype(jnp.float32)
+    v32 = v.astype(jnp.float32)
+    dv = jnp.einsum("bhqk,bhqd->bhkd", a, g32)
+    da = jnp.einsum("bhqd,bhkd->bhqk", g32, v32)
+    dl = a * (da - (a * da).sum(axis=-1, keepdims=True)) / temperature
+    dq = jnp.einsum("bhqk,bhkd->bhqd", dl, k.astype(jnp.float32)) * scale
+    dk = jnp.einsum("bhqk,bhqd->bhkd", dl, q.astype(jnp.float32)) * scale
+    dqkv = jnp.stack([dq, dk, dv])  # (3, B, H, T, Dh)
+    dqkv = dqkv.transpose(1, 3, 0, 2, 4).reshape(B, T, D3)
+    return (dqkv.astype(qkv.dtype),)
+
+
+attention_qkv_fused.defvjp(_fwd, _bwd)

@@ -109,3 +109,37 @@ def test_attn_stats_math(rng):
     # kind 4: renormalized-without-cls entropy, bounded by log(T-1)
     ent = np.asarray(stats[4])
     assert (ent >= -1e-5).all() and (ent <= np.log(T - 1) + 0.1).all()
+
+
+def test_attention_qkv_fused_matches_mha(rng):
+    """Natural-layout kernel (B,T,3D)->(B,T,D) vs the reference mha path,
+    interpret mode on CPU."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from ep_tpu.ops.attention import mha
+    from ep_tpu.ops.attn_fused_pallas import attention_qkv_fused
+
+    B, T, H, Dh = 2, 13, 4, 16
+    D = H * Dh
+    scale = Dh ** -0.5
+    qkv = jax.random.normal(rng, (B, T, 3 * D), jnp.float32)
+    out = attention_qkv_fused(qkv, H, scale, 1.0, True)
+    x = qkv.reshape(B, T, 3, H, Dh).transpose(2, 0, 3, 1, 4)
+    ref = mha(x[0], x[1], x[2], scale)
+    ref = ref.transpose(0, 2, 1, 3).reshape(B, T, D)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+    # custom VJP (XLA recompute) matches autodiff through the mha path
+    g1 = jax.grad(lambda q: (
+        attention_qkv_fused(q, H, scale, 1.0, True) ** 2).sum())(qkv)
+
+    def f2(qkv):
+        x = qkv.reshape(B, T, 3, H, Dh).transpose(2, 0, 3, 1, 4)
+        r = mha(x[0], x[1], x[2], scale)
+        return (r.transpose(0, 2, 1, 3).reshape(B, T, D) ** 2).sum()
+
+    g2 = jax.grad(f2)(qkv)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=1e-4, atol=1e-4)
