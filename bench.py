@@ -76,6 +76,13 @@ def main():
     del variables
 
     train_step = make_train_step(model, tx, make_lr_fn(cfg, 1000), mesh)
+    # AOT executable cache: the serialized compiled step reloads in ~0.1s
+    # in later bench runs (fresh processes otherwise pay the multi-minute
+    # remote compile; see ep_tpu/runtime/aot_cache.py)
+    from ep_tpu.runtime.aot_cache import maybe_wrap
+    train_step = maybe_wrap(
+        train_step, f"bench:{cfg.model}:{cfg.cls_features}:{cfg.attn_impl}",
+        os.environ.get("EP_TPU_AOT_CACHE", ".aot_cache"))
     dimages, dlabels = shard_batch((images, labels), mesh)
 
     _log("compiling train step ...")

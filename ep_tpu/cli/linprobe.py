@@ -126,6 +126,24 @@ def main(cfg: TrainConfig) -> dict:
     train_step = make_train_step(model, tx, lr_fn, mesh)
     eval_step = make_eval_step(model, mesh)
 
+    if cfg.aot_cache:
+        # serialized-executable cache: repeat runs of the same computation
+        # skip the multi-minute remote compile (runtime/aot_cache.py). The
+        # key carries every compute-relevant knob — notably the LR-schedule
+        # constants, which are baked into the compiled step as literals.
+        import dataclasses
+        from ep_tpu.runtime.aot_cache import AOTCache
+        skip = {"output_dir", "data_path", "resume", "finetune",
+                "oracle_ckpt", "suffix", "num_workers", "auto_resume",
+                "device", "log_dir", "aot_cache", "pin_mem", "dist_eval",
+                "dataloader_affinity_hack", "start_epoch"}
+        key = repr(sorted(
+            (k, str(v)) for k, v in dataclasses.asdict(cfg).items()
+            if k not in skip)) + f":spe{max(len(loader_train), 1)}"
+        ac = AOTCache(cfg.aot_cache)
+        train_step = ac.wrap(train_step, "train:" + key)
+        eval_step = ac.wrap(eval_step, "eval:" + key)
+
     # --- feature-cache fast path (our extension; SURVEY.md §7 decision 1) -----
     if cfg.cache_features and jax.process_count() > 1:
         # extraction materializes features host-side (jax.device_get on the

@@ -134,6 +134,9 @@ class TrainConfig:
     mesh_data: int = -1  # -1 = all devices on the data axis
     mesh_model: int = 1  # tensor-parallel axis size for huge backbones
     cache_features: bool = False  # extract frozen features once, train on cache
+    aot_cache: str = ""  # directory for serialized compiled executables:
+    # fresh processes reload the train/eval step in ~0.1s instead of paying
+    # the multi-minute remote compile (runtime/aot_cache.py)
     pallas_pool: bool = True  # use the fused Pallas pooling kernel when it applies
     attn_impl: str = "pallas"  # encoder attention: pallas | xla. pallas =
     # the natural-layout fused kernel (ops/attn_fused_pallas.py), ~2.2x the
@@ -241,6 +244,9 @@ def get_args_parser() -> argparse.ArgumentParser:
     p.add_argument("--mesh_data", default=d.mesh_data, type=int)
     p.add_argument("--mesh_model", default=d.mesh_model, type=int)
     p.add_argument("--cache_features", action="store_true", default=False)
+    p.add_argument("--aot_cache", default=d.aot_cache, type=str,
+                   help="dir for serialized compiled executables (reloads "
+                        "in ~0.1s instead of recompiling in new processes)")
     p.add_argument("--no_pallas_pool", action="store_false", dest="pallas_pool")
     p.set_defaults(pallas_pool=True)
     p.add_argument("--attn_impl", default=d.attn_impl,

@@ -143,3 +143,32 @@ def test_attention_qkv_fused_matches_mha(rng):
     g2 = jax.grad(f2)(qkv)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_aot_cache_roundtrip(tmp_path):
+    """Serialized executable reloads from disk into a fresh wrapper and
+    produces identical results; key mismatch (different shapes) recompiles."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from ep_tpu.runtime.aot_cache import AOTCache
+
+    @jax.jit
+    def f(x):
+        return (x * 2 + 1).sum()
+
+    x = jnp.arange(12.0).reshape(3, 4)
+    ac1 = AOTCache(str(tmp_path))
+    w1 = ac1.wrap(f, "k")
+    r1 = float(w1(x))
+    files = list(tmp_path.glob("aot_*.pkl"))
+    if not files:  # serialize unsupported on this backend — fallback path
+        import pytest
+        pytest.skip("serialize_executable unsupported here")
+    # fresh wrapper (simulates a new process): must load, not recompile
+    w2 = AOTCache(str(tmp_path)).wrap(jax.jit(lambda x: (x * 2 + 1).sum()), "k")
+    assert float(w2(x)) == r1
+    # different input signature → separate entry, still correct
+    y = jnp.arange(8.0).reshape(2, 4)
+    assert float(w2(y)) == float((y * 2 + 1).sum())
+    assert len(list(tmp_path.glob("aot_*.pkl"))) == 2
