@@ -243,6 +243,48 @@ class LayerScale(nn.Module):
         return x * gamma.astype(x.dtype)
 
 
+class _LNParams(nn.Module):
+    """Declare LayerNorm's param tree without running it (the fused
+    supercell computes the normalization in-kernel)."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones, (self.dim,),
+                           jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.dim,),
+                          jnp.float32)
+        return scale, bias
+
+
+class _DenseParams(nn.Module):
+    """Declare nn.Dense's param tree (same names/inits) without running it."""
+
+    features: int
+    in_dim: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (self.in_dim, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,),
+                          jnp.float32)
+        return kernel, bias
+
+
+class _AttnParams(nn.Module):
+    """The Attention submodule's param tree, for the fused block path."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        qkv = _DenseParams(3 * self.dim, self.dim, name="qkv")()
+        proj = _DenseParams(self.dim, self.dim, name="proj")()
+        return qkv, proj
+
+
 class Block(nn.Module):
     cfg: ViTConfig
     layer_idx: int = 0
@@ -253,6 +295,33 @@ class Block(nn.Module):
                  capture: bool = False):
         c = self.cfg
         D = c.embed_dim
+
+        if (c.attn_impl == "pallas" and not capture and rel_bias is None
+                and c.init_values is None and c.qkv_bias
+                and c.qkv_bias_mode == "full"
+                and not self.is_initializing()
+                and jax.default_backend() == "tpu"):
+            # attention supercell: LN1 + qkv + attention + proj + residual
+            # in one kernel (ops/attn_block_pallas.py). Param tree is
+            # declared through holders so names/shapes/inits are identical
+            # to the standard path (checkpoints interchange freely).
+            from ep_tpu.ops.attn_block_pallas import attn_supercell
+            g1, b1 = _LNParams(D, name="norm1")()
+            (qkv_k, qkv_b), (proj_k, proj_b) = _AttnParams(D, name="attn")()
+            H = c.num_heads
+            x = attn_supercell(
+                x.astype(c.dtype), qkv_k, qkv_b, g1, b1, proj_k, proj_b,
+                H, (D // H) ** -0.5, temperature, c.norm_eps)
+            h = nn.LayerNorm(epsilon=c.norm_eps, dtype=c.dtype,
+                             name="norm2")(x)
+            if c.mlp_type == "swiglu":
+                m = SwiGLUMlp(int(D * c.mlp_ratio), D, dtype=c.dtype,
+                              name="mlp")(h)
+            else:
+                m = Mlp(int(D * c.mlp_ratio), D, dtype=c.dtype,
+                        act=c.mlp_type, name="mlp")(h)
+            return x + m, None
+
         h = nn.LayerNorm(epsilon=c.norm_eps, dtype=c.dtype, name="norm1")(x)
         y = Attention(c, name="attn")(
             h, temperature=temperature, rel_bias=rel_bias, return_probs=capture

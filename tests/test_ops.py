@@ -172,3 +172,42 @@ def test_aot_cache_roundtrip(tmp_path):
     y = jnp.arange(8.0).reshape(2, 4)
     assert float(w2(y)) == float((y * 2 + 1).sum())
     assert len(list(tmp_path.glob("aot_*.pkl"))) == 2
+
+
+def test_attn_supercell_matches_reference(rng):
+    """LN1+qkv+attn+proj+residual supercell vs the XLA composition of the
+    same math, interpret mode on CPU."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from ep_tpu.ops.attn_block_pallas import (attn_supercell, _ref_forward)
+
+    B, T, H, Dh = 2, 11, 4, 8
+    D = H * Dh
+    ks = jax.random.split(rng, 7)
+    x = jax.random.normal(ks[0], (B, T, D), jnp.float32)
+    w_qkv = jax.random.normal(ks[1], (D, 3 * D)) * 0.05
+    b_qkv = jax.random.normal(ks[2], (3 * D,)) * 0.02
+    gamma = 1.0 + 0.1 * jax.random.normal(ks[3], (D,))
+    beta = 0.1 * jax.random.normal(ks[4], (D,))
+    w_proj = jax.random.normal(ks[5], (D, D)) * 0.05
+    b_proj = jax.random.normal(ks[6], (D,)) * 0.02
+    scale = Dh ** -0.5
+
+    out = attn_supercell(x, w_qkv, b_qkv, gamma, beta, w_proj, b_proj,
+                         H, scale, 1.0, 1e-6, True)
+    ref = _ref_forward(x, w_qkv, b_qkv, gamma, beta, w_proj, b_proj,
+                       H, scale, 1.0, 1e-6)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+    # custom VJP (XLA recompute) agrees with autodiff of the reference
+    g1 = jax.grad(lambda *a: (attn_supercell(
+        *a, H, scale, 1.0, 1e-6, True) ** 2).sum(), argnums=(0, 1, 5))(
+        x, w_qkv, b_qkv, gamma, beta, w_proj, b_proj)
+    g2 = jax.grad(lambda *a: (_ref_forward(
+        *a, H, scale, 1.0, 1e-6) ** 2).sum(), argnums=(0, 1, 5))(
+        x, w_qkv, b_qkv, gamma, beta, w_proj, b_proj)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
