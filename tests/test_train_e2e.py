@@ -168,3 +168,29 @@ def test_mae_latent_probing(tmp_path, monkeypatch, head):
     res = main(_cfg(tmp_path, model="mae_vit_base_patch16", cls_features=head,
                     ep_queries=4, d_out=1, pallas_pool=False, epochs=4))
     assert res["max_accuracy"] > 40.0  # chance = 25%
+
+
+def test_openclip_style_backbone_e2e(tmp_path, monkeypatch):
+    """--openclip tower shape: pre_norm + final LN + cls-only projection
+    runs the full driver (cls -> LP on the projected dim, ep -> pooling on
+    the un-projected patch tokens)."""
+    import ep_tpu.cli.linprobe as linprobe
+
+    clip_tiny = ViTConfig(img_size=16, patch_size=4, embed_dim=32, depth=2,
+                          num_heads=2, final_norm="ln", pre_norm=True,
+                          proj_dim=24, mlp_type="quick_gelu",
+                          dtype=jnp.float32)
+    monkeypatch.setattr(assembly, "build_backbone_config",
+                        lambda cfg: clip_tiny)
+    monkeypatch.setattr(linprobe, "build_backbone_config",
+                        lambda cfg: clip_tiny)
+    # cls goes through the 24-dim random projection, which squeezes the
+    # linearly-separable signal — beat chance (25%), not the usual 40% bar
+    res = main(_cfg(tmp_path, model="ViT-B-16", openclip=True,
+                    cls_features="cls", epochs=6))
+    assert res["max_accuracy"] > 32.0
+    res = main(_cfg(tmp_path / "ep", model="ViT-B-16", openclip=True,
+                    cls_features="ep", ep_queries=4, d_out=1,
+                    pallas_pool=False, epochs=3,
+                    output_dir=str(tmp_path / "ep")))
+    assert res["max_accuracy"] > 40.0
