@@ -145,13 +145,6 @@ def main(cfg: TrainConfig) -> dict:
         eval_step = ac.wrap(eval_step, "eval:" + key)
 
     # --- feature-cache fast path (our extension; SURVEY.md §7 decision 1) -----
-    if cfg.cache_features and jax.process_count() > 1:
-        # extraction materializes features host-side (jax.device_get on the
-        # global array), which needs a fully-addressable array; per-host
-        # sharded extraction + allgather isn't wired yet
-        print("[cache] --cache_features is single-process only; "
-              "falling back to standard training")
-        cfg = cfg.replace(cache_features=False)
     if cfg.cache_features and not cfg.finetuning and not cfg.eval \
             and not cfg.knn_eval:
         from ep_tpu.data.loader import DataLoader
@@ -176,9 +169,13 @@ def main(cfg: TrainConfig) -> dict:
             return _bb_apply(bb_params, images)
 
         print("[cache] extracting frozen features (train + val, one pass)")
+        # per-process sharding like build_loaders: every host feeds its own
+        # slice of the dataset; extract_split allgathers the global batch
         ex_train = DataLoader(dataset_train, cfg.batch_size, transform_train,
                               shuffle=False, drop_last=False,
-                              num_workers=cfg.num_workers)
+                              num_workers=cfg.num_workers,
+                              num_processes=jax.process_count(),
+                              process_index=jax.process_index())
         feats_tr, labels_tr = extract_split(
             backbone_apply, ex_train, mesh, cfg.output_dir, "train")
         feats_va, labels_va = extract_split(

@@ -138,11 +138,14 @@ class TrainConfig:
     # fresh processes reload the train/eval step in ~0.1s instead of paying
     # the multi-minute remote compile (runtime/aot_cache.py)
     pallas_pool: bool = True  # use the fused Pallas pooling kernel when it applies
-    attn_impl: str = "pallas"  # encoder attention: pallas | xla. pallas =
-    # the natural-layout fused kernel (ops/attn_fused_pallas.py), ~2.2x the
-    # XLA attention path at ViT-B shapes (r2); it silently falls back to
-    # the XLA path off-TPU and wherever rel-pos bias / attention capture
-    # need materialized probabilities
+    attn_impl: str = "auto"  # encoder attention: auto | pallas | xla.
+    # pallas = the fused kernels (ops/attn_block_pallas.py supercell /
+    # ops/attn_fused_pallas.py), ~2x the XLA attention path at ViT-B shapes
+    # (r2). auto = pallas on a single device, xla on multi-device meshes
+    # (pallas_call custom calls under GSPMD with a sharded batch are
+    # unvalidated on this single-chip setup — forcing --attn_impl pallas
+    # overrides once verified on a real pod). Off-TPU, rel-pos-bias and
+    # attention-capture paths always fall back to XLA attention.
     use_grain: bool = False  # grain-backed input pipeline (worker processes)
     scan_blocks: bool = False  # lax.scan over encoder layers (depth× smaller
     # HLO; much faster compiles for ViT-L/H; diagnostics paths need it off)
@@ -250,7 +253,7 @@ def get_args_parser() -> argparse.ArgumentParser:
     p.add_argument("--no_pallas_pool", action="store_false", dest="pallas_pool")
     p.set_defaults(pallas_pool=True)
     p.add_argument("--attn_impl", default=d.attn_impl,
-                   choices=["xla", "pallas"])
+                   choices=["auto", "xla", "pallas"])
     p.add_argument("--use_grain", action="store_true", default=False)
     p.add_argument("--scan_blocks", action="store_true", default=False)
     p.add_argument("--debug_nans", action="store_true", default=False)

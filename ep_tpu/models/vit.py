@@ -183,6 +183,15 @@ class SwiGLUMlp(nn.Module):
         return nn.Dense(self.out, dtype=self.dtype, name="w3")(x)
 
 
+def _pallas_attn_enabled(c) -> bool:
+    """'pallas' forces the fused kernels; 'auto' uses them only single-
+    device (pallas custom calls under GSPMD with a sharded batch are
+    unvalidated on the single-chip dev setup — see configs.attn_impl)."""
+    if c.attn_impl == "pallas":
+        return True
+    return c.attn_impl == "auto" and jax.device_count() == 1
+
+
 class Attention(nn.Module):
     cfg: ViTConfig
 
@@ -206,7 +215,7 @@ class Attention(nn.Module):
             qkv = nn.Dense(3 * D, use_bias=c.qkv_bias, dtype=c.dtype, name="qkv")(x)
 
         probs = None
-        if (c.attn_impl == "pallas" and not return_probs and rel_bias is None
+        if (_pallas_attn_enabled(c) and not return_probs and rel_bias is None
                 and not self.is_initializing()
                 and jax.default_backend() == "tpu"):
             # natural-layout fused kernel: consumes the qkv Dense output
@@ -296,7 +305,7 @@ class Block(nn.Module):
         c = self.cfg
         D = c.embed_dim
 
-        if (c.attn_impl == "pallas" and not capture and rel_bias is None
+        if (_pallas_attn_enabled(c) and not capture and rel_bias is None
                 and c.init_values is None and c.qkv_bias
                 and c.qkv_bias_mode == "full"
                 and not self.is_initializing()

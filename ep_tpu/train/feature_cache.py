@@ -35,13 +35,29 @@ def extract_split(backbone_apply, loader, mesh, cache_dir: str, name: str,
     dataset-length × per-row bytes (valid-mask filtering can shrink early
     batches, so a per-batch estimate could flip mid-stream and strand
     already-accumulated rows — round-1 Weak #4)."""
+    multi = jax.process_count() > 1
+    if multi:
+        from jax.experimental import multihost_utils
+
     feats_list, labels_list = [], []
     memmap = None
     use_memmap = None
     n_written = 0
     for images, labels, valid in iter(loader):
         images = shard_batch(images, mesh)
-        f = np.asarray(jax.device_get(backbone_apply(images)))
+        fd = backbone_apply(images)
+        if multi:
+            # every host contributed its local loader shard to the global
+            # batch; gather the full batch (and host-side labels/masks) so
+            # all hosts end up with the complete cache and can train on
+            # identically-shuffled epochs
+            f = np.asarray(multihost_utils.process_allgather(fd,
+                                                             tiled=True))
+            labels = np.concatenate(
+                multihost_utils.process_allgather(labels))
+            valid = np.concatenate(multihost_utils.process_allgather(valid))
+        else:
+            f = np.asarray(jax.device_get(fd))
         keep = valid > 0
         f = f[keep]
         labels_list.append(labels[keep])

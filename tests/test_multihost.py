@@ -127,3 +127,65 @@ def test_init_distributed_trigger_logic(monkeypatch):
     assert not run({"SLURM_PROCID": "0", "SLURM_NTASKS": "1"})
     # bare shell, no launcher
     assert not run({})
+
+
+CACHE_WORKER = """
+import os, sys
+sys.path.insert(0, {repo!r})
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(
+    coordinator_address="127.0.0.1:{port}",
+    num_processes=2, process_id={pid})
+import jax.numpy as jnp
+import ep_tpu.models.assembly as asm
+import ep_tpu.cli.linprobe as lp
+from ep_tpu.configs import TrainConfig
+from ep_tpu.models.vit import ViTConfig
+
+TINY = ViTConfig(img_size=16, patch_size=4, embed_dim=32, depth=2,
+                 num_heads=2, dtype=jnp.float32)
+asm.build_backbone_config = lambda cfg: TINY
+lp.build_backbone_config = lambda cfg: TINY
+
+cfg = TrainConfig(dataset_name="fake", nb_classes=4, image_size=16,
+                  batch_size=16, model="vit_tiny_patch16", cls_features="gap",
+                  cache_features=True, epochs=5, warmup_epochs=1, blr=4.0,
+                  amp="float32", num_workers=1, seed=0,
+                  output_dir={outdir!r})
+res = lp.main(cfg)
+# force=True: setup_for_distributed silences plain prints on rank != 0
+print(f"CACHEWORKER{{{pid}}} max_acc {{res['max_accuracy']:.4f}}",
+      force=True, flush=True)
+"""
+
+
+@pytest.mark.slow
+def test_two_process_cache_features(tmp_path):
+    """--cache_features across 2 processes: per-host sharded extraction +
+    allgather; both hosts train on the full cache and agree on accuracy."""
+    port = _free_port()
+    procs = []
+    for pid in range(2):
+        script = tmp_path / f"cworker{pid}.py"
+        script.write_text(CACHE_WORKER.format(
+            repo=str(REPO), port=port, pid=pid,
+            outdir=str(tmp_path / "out")))
+        env = {
+            "PATH": "/usr/bin:/bin:/usr/local/bin",
+            "HOME": "/root",
+            "XLA_FLAGS": "--xla_force_host_platform_device_count=4",
+            "JAX_PLATFORMS": "cpu",
+        }
+        procs.append(subprocess.Popen(
+            [sys.executable, str(script)], env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
+    outs = [p.communicate(timeout=420)[0] for p in procs]
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"cworker{pid}:\n{out[-3000:]}"
+    accs = []
+    for out in outs:
+        line = [l for l in out.splitlines() if "CACHEWORKER" in l][0]
+        accs.append(float(line.split()[-1]))
+    assert abs(accs[0] - accs[1]) < 1e-6, accs  # identical global training
+    assert accs[0] > 40.0  # chance = 25%
