@@ -26,7 +26,8 @@ REF_BASELINE_IMG_S = 1000.0
 
 import sys
 
-BATCH = 512
+import os as _os
+BATCH = int(_os.environ.get("EP_TPU_BENCH_BATCH", "512"))
 MEASURE_STEPS = 10
 
 
@@ -121,7 +122,7 @@ def main():
     img_s_chip = cfg.batch_size / step_t / n_dev
     print(json.dumps({
         "metric": "probe-train images/sec/chip (frozen ViT-B/16 + EP32 head, "
-                  "bf16, bs512, pipelined)",
+                  f"bf16, bs{BATCH}, pipelined)",
         "value": round(img_s_chip, 1),
         "unit": "images/sec/chip",
         "vs_baseline": round(img_s_chip / REF_BASELINE_IMG_S, 3),

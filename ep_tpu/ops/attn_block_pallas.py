@@ -124,6 +124,10 @@ def _fwd_impl(x, w_qkv, b_qkv, gamma, beta, w_proj, b_proj, num_heads,
             bytes_accessed=2 * x.size * x.dtype.itemsize,
             transcendentals=B * num_heads * T * T,
         ),
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            # images are independent: lets Mosaic pipeline grid steps
+            # (prefetch image b+1 while computing b)
+            dimension_semantics=("parallel",)),
         interpret=interpret,
     )(x, wq, bq, g, bt, wp, bp)
     return out

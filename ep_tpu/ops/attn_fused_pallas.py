@@ -82,6 +82,8 @@ def _fwd_impl(qkv, num_heads, scale, temperature, interpret, block_b):
             bytes_accessed=qkv.size * qkv.dtype.itemsize * 2,
             transcendentals=B * num_heads * T * T,
         ),
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
         interpret=interpret,
     )(qkv)
     return out
