@@ -42,8 +42,9 @@ def _flash_kernel(q_ref, k_ref, v_ref, out_ref, *, scale: float,
         preferred_element_type=jnp.float32,
     ) * (scale / temperature)  # (G, Tp, Tp) f32
     tp = logits.shape[1]
-    key_ok = jax.lax.broadcasted_iota(jnp.int32, (1, 1, tp), 2) < n_real
-    logits = jnp.where(key_ok, logits, -1e30)
+    if n_real < tp:  # only when the caller had to pad the token dim
+        key_ok = jax.lax.broadcasted_iota(jnp.int32, (1, 1, tp), 2) < n_real
+        logits = jnp.where(key_ok, logits, -1e30)
     logits = logits - logits.max(axis=-1, keepdims=True)
     probs = jnp.exp(logits)
     probs = probs / probs.sum(axis=-1, keepdims=True)
@@ -68,14 +69,17 @@ def flash_attention(q, k, v, scale: float, temperature: float = 1.0,
 def _flash_forward(q, k, v, scale, temperature, interpret,
                    heads_per_prog=G):
     B, H, T, Dh = q.shape
-    t_pad = max(128, ((T + 127) // 128) * 128)
-    # the last dim may equal the full array dim, so Dh (e.g. 64) needs no
-    # padding to the 128-lane tile — padding it would double both matmuls
-    d_pad = Dh if Dh % 8 == 0 else ((Dh + 7) // 8) * 8
+    # Mosaic masks non-divisible block dims itself, so T needs no host-side
+    # pad: jnp.pad of q/k/v at bench shapes is 3 x 150 MB of pure HBM copy
+    # per block (~2 ms) and was the reason the r1 kernel lost in-model.
+    t_pad, d_pad = T, Dh
+    if Dh % 8 != 0:
+        d_pad = ((Dh + 7) // 8) * 8
 
     def prep(x):
-        x = jnp.pad(x, [(0, 0), (0, 0), (0, t_pad - T), (0, d_pad - Dh)])
-        return x.reshape(B * H, t_pad, d_pad)
+        if d_pad != Dh:
+            x = jnp.pad(x, [(0, 0), (0, 0), (0, 0), (0, d_pad - Dh)])
+        return x.reshape(B * H, T, d_pad)
 
     qp, kp, vp = prep(q), prep(k), prep(v)
     gsize = heads_per_prog
