@@ -47,7 +47,8 @@ def main():
     import os
     n_dev = len(jax.devices())
     cfg = TrainConfig(
-        model="vit_base_patch16", cls_features="ep", ep_queries=32, d_out=1,
+        model=os.environ.get("EP_TPU_BENCH_MODEL", "vit_base_patch16"),
+        cls_features="ep", ep_queries=32, d_out=1,
         nb_classes=1000, amp="bfloat16", batch_size=BATCH * n_dev,
         epochs=90, warmup_epochs=10, blr=0.1,
         eff_batch_size=BATCH * n_dev, pallas_pool=True,
@@ -121,8 +122,8 @@ def main():
 
     img_s_chip = cfg.batch_size / step_t / n_dev
     print(json.dumps({
-        "metric": "probe-train images/sec/chip (frozen ViT-B/16 + EP32 head, "
-                  f"bf16, bs{BATCH}, pipelined)",
+        "metric": f"probe-train images/sec/chip (frozen {cfg.model} + EP32 "
+                  f"head, bf16, bs{BATCH}, pipelined)",
         "value": round(img_s_chip, 1),
         "unit": "images/sec/chip",
         "vs_baseline": round(img_s_chip / REF_BASELINE_IMG_S, 3),

@@ -28,9 +28,12 @@ BB = 8  # images per program (f32 sublane tile)
 
 
 def _ep_kernel(q_ref, x_ref, v_ref, mask_ref, out_ref, *, n_real: int):
-    # q: (Q, C) pre-scaled; x: (BB, Np, C); v: (BB, Np, QC); out: (BB, QC)
-    q = q_ref[:].astype(jnp.float32)
-    x = x_ref[:].astype(jnp.float32)
+    # q: (Q, C) pre-scaled; x: (BB, Np, C); v: (BB, Np, QC); out: (BB, QC).
+    # q/x stay bf16 INTO the MXU (it accumulates f32 from bf16 operands);
+    # upcasting first doubles VMEM (the block OOM'd at ViT-L) and runs the
+    # matmul at the slow f32 rate.
+    q = q_ref[:]
+    x = x_ref[:]
     v = v_ref[:]
 
     # logits[b, q, n] — batched over the BB block
@@ -77,7 +80,18 @@ def _ep_pool_attend_fwd_only(
     QC = Q * cq
 
     n_pad = max(128, ((N + 127) // 128) * 128)
-    b_pad = ((B + BB - 1) // BB) * BB
+    # VMEM budget check: streamed input blocks are DOUBLE-buffered by
+    # Mosaic (prefetch of block b+1 while computing b), so x+v count twice.
+    # The batch block can't shrink below 8 (output sublane tiling), so when
+    # the footprint exceeds the 16MB scoped limit (e.g. ViT-L: C=QC=1024
+    # blew it by 0.6MB) fall back to the XLA composition — the EP pool is
+    # a sub-millisecond op either way, the kernel only saves HBM traffic.
+    bb = BB
+    est = (2 * bb * n_pad * (C + QC) * 2 + bb * n_pad * Q * 4
+           + bb * Q * QC * 4 + Q * (C + QC) * 2)
+    if est > 12 * 1024 * 1024 and not interpret:
+        return ep_pool_attend_xla(q_scaled, tokens, v)
+    b_pad = ((B + bb - 1) // bb) * bb
     tokens = jnp.pad(tokens, [(0, b_pad - B), (0, n_pad - N), (0, 0)])
     v = jnp.pad(v, [(0, b_pad - B), (0, n_pad - N), (0, 0), (0, 0)])
     v = v.reshape(b_pad, n_pad, QC)
@@ -87,19 +101,19 @@ def _ep_pool_attend_fwd_only(
         mask[i, i * cq:(i + 1) * cq] = 1.0
     mask = jnp.asarray(mask, tokens.dtype)
 
-    grid = (b_pad // BB,)
+    grid = (b_pad // bb,)
     out = pl.pallas_call(
         functools.partial(_ep_kernel, n_real=N),
         grid=grid,
         in_specs=[
             pl.BlockSpec((Q, C), lambda b: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((BB, n_pad, C), lambda b: (b, 0, 0),
+            pl.BlockSpec((bb, n_pad, C), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((BB, n_pad, QC), lambda b: (b, 0, 0),
+            pl.BlockSpec((bb, n_pad, QC), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((Q, QC), lambda b: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((BB, QC), lambda b: (b, 0),
+        out_specs=pl.BlockSpec((bb, QC), lambda b: (b, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b_pad, QC), tokens.dtype),
         cost_estimate=pl.CostEstimate(

@@ -91,3 +91,20 @@ def test_cli_flag_surface_matches_reference():
     ])
     cfg = config_from_args(args)
     assert cfg.ep_queries == 64 and cfg.early_stop and cfg.auto_resume
+
+
+@pytest.mark.slow
+def test_dryrun_multichip_driver_contract():
+    """__graft_entry__.dryrun_multichip must self-host a virtual 8-device
+    mesh in a subprocess (the driver's MULTICHIP check; r1 failed it)."""
+    import subprocess
+    import sys
+    from pathlib import Path
+    repo = Path(__file__).resolve().parent.parent
+    out = subprocess.run(
+        [sys.executable, "-c",
+         "import sys; sys.path.insert(0, %r); "
+         "import __graft_entry__ as g; g.dryrun_multichip(8)" % str(repo)],
+        capture_output=True, text=True, timeout=420, cwd=str(repo))
+    assert out.returncode == 0, out.stdout + out.stderr
+    assert "mesh={'data': 4, 'model': 2}" in out.stdout
