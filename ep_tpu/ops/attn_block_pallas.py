@@ -94,6 +94,15 @@ def _fwd_impl(x, w_qkv, b_qkv, gamma, beta, w_proj, b_proj, num_heads,
               scale, temperature, eps, interpret):
     B, T, D = x.shape
     Dh = D // num_heads
+
+    # VMEM budget: resident weights (4D^2 bf16) + double-buffered x/out
+    # blocks + qkv + per-head f32 logits. ViT-H (D=1280) overflows the
+    # 16MB scoped limit — fall back to the XLA composition there.
+    est = (4 * D * D * 2 + 4 * T * D * 2 + T * 3 * D * 2
+           + T * ((T + 127) // 128 * 128) * 4 + T * D * 2)
+    if est > 13 * 1024 * 1024 and not interpret:
+        return _ref_forward(x, w_qkv, b_qkv, gamma, beta, w_proj, b_proj,
+                            num_heads, scale, temperature, eps)
     wq = w_qkv.astype(x.dtype)
     wp = w_proj.astype(x.dtype)
     bq = b_qkv.astype(jnp.float32).reshape(1, 3 * D)

@@ -211,3 +211,26 @@ def test_attn_supercell_matches_reference(rng):
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-4)
+
+
+def test_attn_supercell_vmem_fallback():
+    """D=1280 (ViT-H) exceeds the kernel's VMEM budget: the wrapper must
+    fall back to the XLA composition rather than OOM the scoped limit."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from ep_tpu.ops.attn_block_pallas import attn_supercell, _ref_forward
+
+    H, Dh, T, B = 16, 80, 256, 1
+    D = H * Dh  # 1280
+    k = jax.random.split(jax.random.key(0), 7)
+    x = jax.random.normal(k[0], (B, T, D), jnp.float32)
+    args = (x, jax.random.normal(k[1], (D, 3 * D)) * 0.02,
+            jnp.zeros(3 * D), jnp.ones(D), jnp.zeros(D),
+            jax.random.normal(k[5], (D, D)) * 0.02, jnp.zeros(D))
+    # interpret=False on CPU: only safe because the budget check falls back
+    # BEFORE any pallas lowering
+    out = attn_supercell(*args, H, Dh ** -0.5, 1.0, 1e-6, False)
+    ref = _ref_forward(*args, H, Dh ** -0.5, 1.0, 1e-6)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
