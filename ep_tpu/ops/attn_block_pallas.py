@@ -101,6 +101,12 @@ def _fwd_impl(x, w_qkv, b_qkv, gamma, beta, w_proj, b_proj, num_heads,
     est = (4 * D * D * 2 + 4 * T * D * 2 + T * 3 * D * 2
            + T * ((T + 127) // 128 * 128) * 4 + T * D * 2)
     if est > 13 * 1024 * 1024 and not interpret:
+        if jax.default_backend() == "tpu":
+            # hybrid: LN/qkv/proj in XLA (matmul-bound, already at peak),
+            # attention core through the natural-layout kernel
+            return _hybrid_forward(x, w_qkv, b_qkv, gamma, beta, w_proj,
+                                   b_proj, num_heads, scale, temperature,
+                                   eps)
         return _ref_forward(x, w_qkv, b_qkv, gamma, beta, w_proj, b_proj,
                             num_heads, scale, temperature, eps)
     wq = w_qkv.astype(x.dtype)
@@ -140,6 +146,21 @@ def _fwd_impl(x, w_qkv, b_qkv, gamma, beta, w_proj, b_proj, num_heads,
         interpret=interpret,
     )(x, wq, bq, g, bt, wp, bp)
     return out
+
+
+def _hybrid_forward(x, w_qkv, b_qkv, gamma, beta, w_proj, b_proj,
+                    num_heads, scale, temperature, eps):
+    """Large-D fallback: XLA LN/qkv/proj + the fused attention kernel."""
+    from ep_tpu.ops.attn_fused_pallas import attention_qkv_fused
+    xf = x.astype(jnp.float32)
+    mu = xf.mean(-1, keepdims=True)
+    var = ((xf - mu) ** 2).mean(-1, keepdims=True)
+    xn = ((xf - mu) * jax.lax.rsqrt(var + eps) * gamma + beta).astype(x.dtype)
+    qkv = ((xn @ w_qkv.astype(x.dtype)).astype(jnp.float32)
+           + b_qkv).astype(x.dtype)
+    o = attention_qkv_fused(qkv, num_heads, scale, temperature)
+    proj = (o @ w_proj.astype(x.dtype)).astype(jnp.float32) + b_proj
+    return (xf + proj).astype(x.dtype)
 
 
 def _ref_forward(x, w_qkv, b_qkv, gamma, beta, w_proj, b_proj, num_heads,
