@@ -141,11 +141,13 @@ class TrainConfig:
     attn_impl: str = "auto"  # encoder attention: auto | pallas | xla.
     # pallas = the fused kernels (ops/attn_block_pallas.py supercell /
     # ops/attn_fused_pallas.py), ~2x the XLA attention path at ViT-B shapes
-    # (r2). auto = pallas on a single device, xla on multi-device meshes
-    # (pallas_call custom calls under GSPMD with a sharded batch are
-    # unvalidated on this single-chip setup — forcing --attn_impl pallas
-    # overrides once verified on a real pod). Off-TPU, rel-pos-bias and
-    # attention-capture paths always fall back to XLA attention.
+    # (r2). auto = pallas on a single device or on a data-parallel-only
+    # mesh, where the kernels run per-shard under jax.shard_map
+    # (parallel/mesh.py::data_parallel_call, validated on an 8-device
+    # virtual mesh in tests/test_pallas_gspmd.py); xla when a
+    # tensor-parallel axis is active (qkv is head-sharded there). Off-TPU,
+    # rel-pos-bias and attention-capture paths always fall back to XLA
+    # attention.
     use_grain: bool = False  # grain-backed input pipeline (worker processes)
     scan_blocks: bool = False  # lax.scan over encoder layers (depth× smaller
     # HLO; much faster compiles for ViT-L/H; diagnostics paths need it off)

@@ -184,12 +184,21 @@ class SwiGLUMlp(nn.Module):
 
 
 def _pallas_attn_enabled(c) -> bool:
-    """'pallas' forces the fused kernels; 'auto' uses them only single-
-    device (pallas custom calls under GSPMD with a sharded batch are
-    unvalidated on the single-chip dev setup — see configs.attn_impl)."""
+    """'pallas' forces the fused kernels; 'auto' uses them whenever they
+    have a safe SPMD story: single device, or a data-parallel-only mesh
+    (the kernels then run per-shard under jax.shard_map — see
+    parallel/mesh.py::data_parallel_call). With an active tensor-parallel
+    axis the qkv tensor is head-sharded and the per-image kernels don't
+    apply — XLA attention handles that layout."""
     if c.attn_impl == "pallas":
         return True
-    return c.attn_impl == "auto" and jax.device_count() == 1
+    if c.attn_impl != "auto":
+        return False
+    if jax.device_count() == 1:
+        return True
+    from ep_tpu.parallel.mesh import MODEL_AXIS, current_mesh
+    mesh = current_mesh()
+    return mesh is not None and mesh.shape[MODEL_AXIS] == 1
 
 
 class Attention(nn.Module):
@@ -214,16 +223,22 @@ class Attention(nn.Module):
         else:
             qkv = nn.Dense(3 * D, use_bias=c.qkv_bias, dtype=c.dtype, name="qkv")(x)
 
+        from ep_tpu.ops import kernel_mode
+        k_ok, k_interp = kernel_mode()
         probs = None
         if (_pallas_attn_enabled(c) and not return_probs and rel_bias is None
-                and not self.is_initializing()
-                and jax.default_backend() == "tpu"):
+                and not self.is_initializing() and k_ok):
             # natural-layout fused kernel: consumes the qkv Dense output
             # directly and emits (B,T,D) — no (B,H,T,Dh) transpose tensors,
             # no (B,H,T,T) probabilities in HBM. ~2.2x the XLA attention
             # path at ViT-B bench shapes (r2: 3.86 vs 8.47 ms/block).
+            # Multi-device: runs per-data-shard under shard_map.
             from ep_tpu.ops.attn_fused_pallas import attention_qkv_fused
-            out = attention_qkv_fused(qkv, H, scale, temperature)
+            from ep_tpu.parallel.mesh import data_parallel_call
+            out = data_parallel_call(
+                lambda t: attention_qkv_fused(t, H, scale, temperature,
+                                              k_interp),
+                (qkv,), (True,))
         else:
             qkv = qkv.reshape(B, T, 3, H, head_dim).transpose(2, 0, 3, 1, 4)
             q, k, v = qkv[0], qkv[1], qkv[2]
@@ -305,22 +320,29 @@ class Block(nn.Module):
         c = self.cfg
         D = c.embed_dim
 
+        from ep_tpu.ops import kernel_mode
+        k_ok, k_interp = kernel_mode()
         if (_pallas_attn_enabled(c) and not capture and rel_bias is None
                 and c.init_values is None and c.qkv_bias
                 and c.qkv_bias_mode == "full"
-                and not self.is_initializing()
-                and jax.default_backend() == "tpu"):
+                and not self.is_initializing() and k_ok):
             # attention supercell: LN1 + qkv + attention + proj + residual
             # in one kernel (ops/attn_block_pallas.py). Param tree is
             # declared through holders so names/shapes/inits are identical
             # to the standard path (checkpoints interchange freely).
+            # Multi-device: runs per-data-shard under shard_map.
             from ep_tpu.ops.attn_block_pallas import attn_supercell
+            from ep_tpu.parallel.mesh import data_parallel_call
             g1, b1 = _LNParams(D, name="norm1")()
             (qkv_k, qkv_b), (proj_k, proj_b) = _AttnParams(D, name="attn")()
             H = c.num_heads
-            x = attn_supercell(
-                x.astype(c.dtype), qkv_k, qkv_b, g1, b1, proj_k, proj_b,
-                H, (D // H) ** -0.5, temperature, c.norm_eps)
+            scale = (D // H) ** -0.5
+            x = data_parallel_call(
+                lambda x_, wq, bq, g_, b_, wp, bp: attn_supercell(
+                    x_, wq, bq, g_, b_, wp, bp, H, scale, temperature,
+                    c.norm_eps, k_interp),
+                (x.astype(c.dtype), qkv_k, qkv_b, g1, b1, proj_k, proj_b),
+                (True, False, False, False, False, False, False))
             h = nn.LayerNorm(epsilon=c.norm_eps, dtype=c.dtype,
                              name="norm2")(x)
             if c.mlp_type == "swiglu":

@@ -53,6 +53,28 @@ def _kernel(qkv_ref, out_ref, *, H: int, Dh: int, scale: float,
         ).astype(out_ref.dtype)
 
 
+def _kernel_per_head(q_ref, k_ref, v_ref, out_ref, *, scale: float,
+                     temperature: float):
+    """One (image, head) per program; q/k/v head-blocks arrive pre-sliced
+    by the BlockSpec index maps (the DMA engine handles the misaligned
+    Dh-strided offsets), so no in-kernel lane slicing happens at all."""
+    q = q_ref[0]  # (T, Dh)
+    k = k_ref[0]
+    v = v_ref[0]
+    logits = jax.lax.dot_general(
+        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * (scale / temperature)
+    logits = logits - logits.max(axis=-1, keepdims=True)
+    probs = jnp.exp(logits)
+    probs = probs / probs.sum(axis=-1, keepdims=True)
+    out_ref[0] = jax.lax.dot_general(
+        probs.astype(v.dtype), v,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(out_ref.dtype)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4, 5))
 def attention_qkv_fused(qkv, num_heads: int, scale: float,
                         temperature: float = 1.0, interpret: bool = False,
@@ -68,6 +90,13 @@ def _fwd_impl(qkv, num_heads, scale, temperature, interpret, block_b):
     B, T, D3 = qkv.shape
     D = D3 // 3
     Dh = D // num_heads
+    if 128 % Dh != 0:
+        # head width doesn't divide the 128-lane tile (e.g. ViT-H Dh=80):
+        # in-kernel head slicing degenerates into lane-crossing relayouts.
+        # Use the per-head grid instead — BlockSpec index maps slice the
+        # head stripes at the DMA level. (For Dh | 128 the single-program
+        # kernel wins: it reads qkv once instead of 3 strided passes.)
+        return _fwd_per_head(qkv, num_heads, scale, temperature, interpret)
     out = pl.pallas_call(
         functools.partial(_kernel, H=num_heads, Dh=Dh, scale=scale,
                           temperature=temperature),
@@ -86,6 +115,40 @@ def _fwd_impl(qkv, num_heads, scale, temperature, interpret, block_b):
             dimension_semantics=("parallel",)),
         interpret=interpret,
     )(qkv)
+    return out
+
+
+def _fwd_per_head(qkv, num_heads, scale, temperature, interpret):
+    B, T, D3 = qkv.shape
+    D = D3 // 3
+    H = num_heads
+    Dh = D // H
+    out = pl.pallas_call(
+        functools.partial(_kernel_per_head, scale=scale,
+                          temperature=temperature),
+        grid=(B, H),
+        in_specs=[
+            # three views into the same qkv tensor: q head h lives at block
+            # h, k at H+h, v at 2H+h (block units of Dh along the last dim)
+            pl.BlockSpec((1, T, Dh), lambda b, h: (b, 0, h),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, T, Dh), lambda b, h: (b, 0, H + h),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, T, Dh), lambda b, h: (b, 0, 2 * H + h),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, T, Dh), lambda b, h: (b, 0, h),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, T, D), qkv.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * H * T * T * Dh,
+            bytes_accessed=qkv.size * qkv.dtype.itemsize * 4 // 3,
+            transcendentals=B * H * T * T,
+        ),
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")),
+        interpret=interpret,
+    )(qkv, qkv, qkv)
     return out
 
 

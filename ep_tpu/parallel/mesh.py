@@ -79,7 +79,67 @@ def make_mesh(data: int = -1, model: int = 1, devices=None) -> Mesh:
         data = n // model
     assert data * model == n, f"mesh {data}x{model} != {n} devices"
     dev_array = np.asarray(devices).reshape(data, model)
-    return Mesh(dev_array, (DATA_AXIS, MODEL_AXIS))
+    mesh = Mesh(dev_array, (DATA_AXIS, MODEL_AXIS))
+    set_current_mesh(mesh)
+    return mesh
+
+
+# --- current-mesh registry + shard_map bridge for opaque kernels ---------
+#
+# pallas_call lowers to an opaque custom call: the GSPMD partitioner has no
+# partitioning rule for it, so inside a jit whose batch is sharded over the
+# ``data`` axis it would all-gather the operands onto every device and run
+# the full-size kernel redundantly on each. Every kernel in ep_tpu/ops is
+# embarrassingly parallel over the batch (grid dim 0 indexes images), so
+# the multi-device story is jax.shard_map over ``data``: each device runs
+# the kernel on its local shard, weights stay replicated, no collectives
+# are inserted (validated on an 8-device virtual mesh in
+# tests/test_pallas_gspmd.py). Counterpart guarantee in the reference: DDP
+# replicas each run their CUDA kernels on the local batch
+# (main_linprobe.py:618-620).
+
+_CURRENT_MESH: Optional[Mesh] = None
+
+
+def set_current_mesh(mesh: Optional[Mesh]) -> None:
+    global _CURRENT_MESH
+    _CURRENT_MESH = mesh
+
+
+def current_mesh() -> Optional[Mesh]:
+    return _CURRENT_MESH
+
+
+class use_mesh:
+    """Context manager pinning the current mesh (tests)."""
+
+    def __init__(self, mesh: Optional[Mesh]):
+        self.mesh = mesh
+
+    def __enter__(self):
+        self.prev = current_mesh()
+        set_current_mesh(self.mesh)
+        return self.mesh
+
+    def __exit__(self, *exc):
+        set_current_mesh(self.prev)
+
+
+def data_parallel_call(fn, args, batched, mesh: Optional[Mesh] = None):
+    """Run ``fn(*args)`` sharded over the mesh's data axis.
+
+    ``batched`` is one bool per positional arg: True = arg carries the
+    batch on dim 0 and is split over ``data``; False = replicated. With no
+    mesh, a 1-sized data axis, or an active tensor-parallel axis (weights
+    would not be replicated) the call runs unwrapped and GSPMD handles it.
+    """
+    mesh = mesh if mesh is not None else _CURRENT_MESH
+    if (mesh is None or mesh.shape[DATA_AXIS] <= 1
+            or mesh.shape[MODEL_AXIS] > 1):
+        return fn(*args)
+    in_specs = tuple(P(DATA_AXIS) if b else P() for b in batched)
+    return jax.shard_map(fn, mesh=mesh, in_specs=in_specs,
+                         out_specs=P(DATA_AXIS), check_vma=False)(*args)
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:

@@ -51,11 +51,16 @@ class EfficientProbing(nn.Module):
         ).astype(self.dtype)
         v = dense(c_prime, use_bias=self.qkv_bias, dtype=self.dtype, name="v")(x)
 
+        from ep_tpu.ops import kernel_mode
+        k_ok, k_interp = kernel_mode()
         if self.use_pallas and not return_attn and \
-                not self.is_initializing() and \
-                jax.default_backend() == "tpu":
+                not self.is_initializing() and k_ok:
             from ep_tpu.ops.pool_attn_pallas import ep_pool_attend
-            out = ep_pool_attend(queries[0] * scale, x, v.reshape(B, N, Q, cq))
+            from ep_tpu.parallel.mesh import data_parallel_call
+            out = data_parallel_call(
+                lambda q_, x_, v_: ep_pool_attend(q_, x_, v_, k_interp),
+                (queries[0] * scale, x, v.reshape(B, N, Q, cq)),
+                (False, True, True))
             return out.reshape(B, c_prime)
 
         # attn[b,q,n] = softmax_n(scale * queries[q] · x[b,n])

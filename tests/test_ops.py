@@ -145,6 +145,39 @@ def test_attention_qkv_fused_matches_mha(rng):
                                rtol=1e-4, atol=1e-4)
 
 
+def test_attention_qkv_fused_per_head_path(rng):
+    """Dh that doesn't divide the 128-lane tile (ViT-H's Dh=80) routes to
+    the per-head-grid kernel; parity vs the mha path, fwd + grad."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from ep_tpu.ops.attention import mha
+    from ep_tpu.ops.attn_fused_pallas import attention_qkv_fused
+
+    B, T, H, Dh = 2, 9, 2, 80
+    D = H * Dh
+    scale = Dh ** -0.5
+    qkv = jax.random.normal(rng, (B, T, 3 * D), jnp.float32)
+    out = attention_qkv_fused(qkv, H, scale, 1.0, True)
+    x = qkv.reshape(B, T, 3, H, Dh).transpose(2, 0, 3, 1, 4)
+    ref = mha(x[0], x[1], x[2], scale)
+    ref = ref.transpose(0, 2, 1, 3).reshape(B, T, D)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+    g1 = jax.grad(lambda q: (
+        attention_qkv_fused(q, H, scale, 1.0, True) ** 2).sum())(qkv)
+
+    def f2(qkv):
+        x = qkv.reshape(B, T, 3, H, Dh).transpose(2, 0, 3, 1, 4)
+        r = mha(x[0], x[1], x[2], scale)
+        return (r.transpose(0, 2, 1, 3).reshape(B, T, D) ** 2).sum()
+
+    g2 = jax.grad(f2)(qkv)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_aot_cache_roundtrip(tmp_path):
     """Serialized executable reloads from disk into a fresh wrapper and
     produces identical results; key mismatch (different shapes) recompiles."""
