@@ -53,7 +53,10 @@ def main():
         epochs=90, warmup_epochs=10, blr=0.1,
         eff_batch_size=BATCH * n_dev, pallas_pool=True,
         attn_impl=os.environ.get("EP_TPU_BENCH_ATTN", "pallas"),
-        scan_blocks=True,  # depth× smaller HLO → predictable compile times
+        # scan = depth× smaller HLO → predictable compile times; unrolled
+        # (EP_TPU_BENCH_SCAN=0) skips the per-layer stacked-weight
+        # dynamic-slice (~1.5 ms/block at ViT-H)
+        scan_blocks=os.environ.get("EP_TPU_BENCH_SCAN", "1") != "0",
     )
     backbone_cfg = build_backbone_config(cfg)
     model = ProbeModel(backbone_cfg, cfg)
@@ -74,6 +77,9 @@ def main():
             train=True)
     tx = build_optimizer("lars", 0.0)
     state = create_train_state(variables, tx, finetuning=False)
+    if cfg.amp == "bfloat16":
+        from ep_tpu.train.state import cast_frozen
+        state = cast_frozen(state, jnp.bfloat16)
     state = jax.device_put(state, jax.devices()[0])
     del variables
 

@@ -103,6 +103,11 @@ def main(cfg: TrainConfig) -> dict:
         import optax
         tx = optax.MultiSteps(tx, every_k_schedule=cfg.accum_iter)
     state = create_train_state(variables, tx, cfg.finetuning)
+    if not cfg.finetuning and cfg.amp == "bfloat16":
+        # probing never updates the backbone: keep it in the compute dtype
+        # (halves weight HBM reads per step; see train/state.cast_frozen)
+        from ep_tpu.train.state import cast_frozen
+        state = cast_frozen(state, jnp.bfloat16)
     del variables
 
     n_parameters = count_params(state.trainable)

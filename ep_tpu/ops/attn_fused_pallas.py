@@ -53,26 +53,32 @@ def _kernel(qkv_ref, out_ref, *, H: int, Dh: int, scale: float,
         ).astype(out_ref.dtype)
 
 
-def _kernel_per_head(q_ref, k_ref, v_ref, out_ref, *, scale: float,
-                     temperature: float):
-    """One (image, head) per program; q/k/v head-blocks arrive pre-sliced
-    by the BlockSpec index maps (the DMA engine handles the misaligned
-    Dh-strided offsets), so no in-kernel lane slicing happens at all."""
-    q = q_ref[0]  # (T, Dh)
-    k = k_ref[0]
-    v = v_ref[0]
-    logits = jax.lax.dot_general(
-        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+def _kernel_head_group(q_ref, k_ref, v_ref, out_ref, *, scale: float,
+                       temperature: float):
+    """One (image, head-group) per program over qkv viewed as
+    (B, T, 3H, Dh). The BlockSpec index maps slice G-head stripes at the
+    DMA level — no in-kernel lane slicing at awkward Dh offsets (the
+    killer at ViT-H's Dh=80) — and the per-head matmuls run batched over
+    the G heads of the group."""
+    # Mosaic batched matmuls need the batch dim at position 0: transpose
+    # the (T, G, Dh) blocks to (G, T, Dh) in VMEM (~300KB relayouts —
+    # noise vs an HBM-layout change)
+    q = q_ref[0].transpose(1, 0, 2)  # (G, T, Dh)
+    k = k_ref[0].transpose(1, 0, 2)
+    v = v_ref[0].transpose(1, 0, 2)
+    logits = jax.lax.dot_general(  # (G, T, T) f32
+        q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     ) * (scale / temperature)
     logits = logits - logits.max(axis=-1, keepdims=True)
     probs = jnp.exp(logits)
     probs = probs / probs.sum(axis=-1, keepdims=True)
-    out_ref[0] = jax.lax.dot_general(
+    pv = jax.lax.dot_general(  # (G, T, Dh)
         probs.astype(v.dtype), v,
-        dimension_numbers=(((1,), (0,)), ((), ())),
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
-    ).astype(out_ref.dtype)
+    )
+    out_ref[0] = pv.transpose(1, 0, 2).astype(out_ref.dtype)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4, 5))
@@ -90,13 +96,14 @@ def _fwd_impl(qkv, num_heads, scale, temperature, interpret, block_b):
     B, T, D3 = qkv.shape
     D = D3 // 3
     Dh = D // num_heads
-    if 128 % Dh != 0:
+    if 128 % Dh != 0 and num_heads % 8 == 0:
         # head width doesn't divide the 128-lane tile (e.g. ViT-H Dh=80):
         # in-kernel head slicing degenerates into lane-crossing relayouts.
-        # Use the per-head grid instead — BlockSpec index maps slice the
-        # head stripes at the DMA level. (For Dh | 128 the single-program
-        # kernel wins: it reads qkv once instead of 3 strided passes.)
-        return _fwd_per_head(qkv, num_heads, scale, temperature, interpret)
+        # Use the head-group grid instead — BlockSpec index maps slice
+        # 8-head stripes at the DMA level (legal blocks: dim -2 = 8, dim
+        # -1 = Dh = the full array dim). For Dh | 128 the single-program
+        # kernel wins: it reads qkv once instead of 3 strided passes.
+        return _fwd_head_group(qkv, num_heads, scale, temperature, interpret)
     out = pl.pallas_call(
         functools.partial(_kernel, H=num_heads, Dh=Dh, scale=scale,
                           temperature=temperature),
@@ -118,38 +125,42 @@ def _fwd_impl(qkv, num_heads, scale, temperature, interpret, block_b):
     return out
 
 
-def _fwd_per_head(qkv, num_heads, scale, temperature, interpret):
+def _fwd_head_group(qkv, num_heads, scale, temperature, interpret,
+                    group: int = 8):
     B, T, D3 = qkv.shape
     D = D3 // 3
     H = num_heads
     Dh = D // H
+    G = group
+    ng = H // G
+    # zero-copy views: (B,T,3D) -> (B,T,3H,Dh); q heads live in slots
+    # [0,H), k in [H,2H), v in [2H,3H) along dim 2
+    qkv4 = qkv.reshape(B, T, 3 * H, Dh)
     out = pl.pallas_call(
-        functools.partial(_kernel_per_head, scale=scale,
+        functools.partial(_kernel_head_group, scale=scale,
                           temperature=temperature),
-        grid=(B, H),
+        grid=(B, ng),
         in_specs=[
-            # three views into the same qkv tensor: q head h lives at block
-            # h, k at H+h, v at 2H+h (block units of Dh along the last dim)
-            pl.BlockSpec((1, T, Dh), lambda b, h: (b, 0, h),
+            pl.BlockSpec((1, T, G, Dh), lambda b, g: (b, 0, g, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, T, Dh), lambda b, h: (b, 0, H + h),
+            pl.BlockSpec((1, T, G, Dh), lambda b, g: (b, 0, ng + g, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, T, Dh), lambda b, h: (b, 0, 2 * H + h),
+            pl.BlockSpec((1, T, G, Dh), lambda b, g: (b, 0, 2 * ng + g, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, T, Dh), lambda b, h: (b, 0, h),
+        out_specs=pl.BlockSpec((1, T, G, Dh), lambda b, g: (b, 0, g, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, T, D), qkv.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, T, H, Dh), qkv.dtype),
         cost_estimate=pl.CostEstimate(
             flops=4 * B * H * T * T * Dh,
             bytes_accessed=qkv.size * qkv.dtype.itemsize * 4 // 3,
             transcendentals=B * H * T * T,
         ),
         compiler_params=None if interpret else pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel")),
+            dimension_semantics=("parallel", "arbitrary")),
         interpret=interpret,
-    )(qkv, qkv, qkv)
-    return out
+    )(qkv4, qkv4, qkv4)
+    return out.reshape(B, T, D)
 
 
 def _split_heads(qkv, num_heads):

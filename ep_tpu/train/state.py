@@ -52,6 +52,19 @@ def create_train_state(variables: Dict[str, Any], tx: optax.GradientTransformati
     )
 
 
+def cast_frozen(state: TrainState, dtype) -> TrainState:
+    """Store the frozen backbone in the compute dtype.
+
+    Probing never updates the backbone, and every matmul casts its weights
+    to the compute dtype (bf16) anyway — keeping the frozen tree in f32
+    just doubles the HBM bytes each step reads (and, under scan-over-
+    layers, the per-layer dynamic-slice traffic). Call this only for
+    probing + bf16 AMP; finetuning keeps f32 master weights."""
+    return state.replace(frozen=jax.tree_util.tree_map(
+        lambda x: x.astype(dtype) if hasattr(x, "astype") else x,
+        state.frozen))
+
+
 def count_params(tree) -> int:
     return sum(int(np.prod(x.shape)) if hasattr(x, "shape") else 0
                for x in jax.tree_util.tree_leaves(tree))
