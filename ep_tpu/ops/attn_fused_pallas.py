@@ -59,7 +59,15 @@ def _kernel_head_group(q_ref, k_ref, v_ref, out_ref, *, scale: float,
     (B, T, 3H, Dh). The BlockSpec index maps slice G-head stripes at the
     DMA level — no in-kernel lane slicing at awkward Dh offsets (the
     killer at ViT-H's Dh=80) — and the per-head matmuls run batched over
-    the G heads of the group."""
+    the G heads of the group.
+
+    Measured and REJECTED at T=257 (r3): peeling key 0 off into a scalar
+    correction to make the logits lane-aligned (G,T,256) — the skinny
+    (G,T,Dh)x(G,Dh,1) cls matmul and the extra normalize passes cost more
+    than the 257→384 lane-padding waste they remove (ViT-H bench 316→293
+    img/s).
+    """
+    coef = scale / temperature
     # Mosaic batched matmuls need the batch dim at position 0: transpose
     # the (T, G, Dh) blocks to (G, T, Dh) in VMEM (~300KB relayouts —
     # noise vs an HBM-layout change)
@@ -69,7 +77,7 @@ def _kernel_head_group(q_ref, k_ref, v_ref, out_ref, *, scale: float,
     logits = jax.lax.dot_general(  # (G, T, T) f32
         q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
-    ) * (scale / temperature)
+    ) * coef
     logits = logits - logits.max(axis=-1, keepdims=True)
     probs = jnp.exp(logits)
     probs = probs / probs.sum(axis=-1, keepdims=True)

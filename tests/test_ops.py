@@ -145,16 +145,22 @@ def test_attention_qkv_fused_matches_mha(rng):
                                rtol=1e-4, atol=1e-4)
 
 
-def test_attention_qkv_fused_head_group_path(rng):
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("T", [9, 129])
+def test_attention_qkv_fused_head_group_path(rng, T):
     """Dh that doesn't divide the 128-lane tile (ViT-H's Dh=80) routes to
-    the head-group-grid kernel; parity vs the mha path, fwd + grad."""
+    the head-group-grid kernel; parity vs the mha path, fwd + grad.
+    T=129 (cls + aligned patch grid, like ViT-H's 257) additionally covers
+    the split-first-key lane-aligned softmax variant."""
     import jax
     import jax.numpy as jnp
     import numpy as np
     from ep_tpu.ops.attention import mha
     from ep_tpu.ops.attn_fused_pallas import attention_qkv_fused
 
-    B, T, H, Dh = 2, 9, 8, 80
+    B, H, Dh = 2, 8, 80
     D = H * Dh
     scale = Dh ** -0.5
     qkv = jax.random.normal(rng, (B, T, 3 * D), jnp.float32)
