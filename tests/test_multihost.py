@@ -55,6 +55,26 @@ assert di.shape == (16, 16, 16, 3), di.shape  # global batch
 state, metrics = step(state, di, dl)
 loss = float(jax.device_get(metrics["loss"]))
 print(f"WORKER{{{pid}}} loss {{loss:.6f}}", flush=True)
+
+# phase 2: Pallas kernels (interpret mode) running per-data-shard under
+# shard_map on the CROSS-PROCESS mesh — validates the
+# parallel/mesh.data_parallel_call bridge and the EP-pool custom VJP
+# through a multi-host GSPMD train step
+os.environ["EP_TPU_PALLAS_INTERPRET"] = "1"
+cfg2 = TrainConfig(cls_features="ep", ep_queries=4, d_out=1, nb_classes=4,
+                   image_size=16, batch_size=16, eff_batch_size=16,
+                   amp="float32", epochs=2, warmup_epochs=1, blr=1.0,
+                   pallas_pool=True, attn_impl="pallas")
+bcfg2 = ViTConfig(img_size=16, patch_size=4, embed_dim=32, depth=1,
+                  num_heads=2, dtype=jnp.float32, attn_impl="pallas")
+model2 = ProbeModel(bcfg2, cfg2)
+variables2 = model2.init(jax.random.key(0), jnp.zeros((2, 16, 16, 3)),
+                         train=True)
+state2 = create_train_state(variables2, tx, False)
+step2 = make_train_step(model2, tx, make_lr_fn(cfg2, 10), mesh)
+state2, metrics2 = step2(state2, di, dl)
+loss2 = float(jax.device_get(metrics2["loss"]))
+print(f"WORKERP{{{pid}}} loss {{loss2:.6f}}", flush=True)
 """
 
 
@@ -83,12 +103,18 @@ def test_two_process_distributed(tmp_path):
     outs = [p.communicate(timeout=420)[0] for p in procs]
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker{pid}:\n{out[-3000:]}"
-    losses = []
+    losses, plosses = [], []
     for out in outs:
-        line = [l for l in out.splitlines() if l.startswith("WORKER")][0]
-        losses.append(float(line.split()[-1]))
+        lines = out.splitlines()
+        losses.append(float(
+            [l for l in lines if l.startswith("WORKER") and
+             not l.startswith("WORKERP")][0].split()[-1]))
+        plosses.append(float(
+            [l for l in lines if l.startswith("WORKERP")][0].split()[-1]))
     # identical global loss on both processes — metrics are globally reduced
     assert abs(losses[0] - losses[1]) < 1e-6, losses
+    # same property through the shard_map'd Pallas-kernel (interpret) path
+    assert abs(plosses[0] - plosses[1]) < 1e-6, plosses
 
 
 def test_init_distributed_trigger_logic(monkeypatch):
