@@ -138,6 +138,9 @@ class TrainConfig:
     # fresh processes reload the train/eval step in ~0.1s instead of paying
     # the multi-minute remote compile (runtime/aot_cache.py)
     pallas_pool: bool = True  # use the fused Pallas pooling kernel when it applies
+    int8_mlp: bool = False  # OPT-IN int8 MLP kernel in the frozen backbone
+    # (2x MXU rate, ~17% off the MLP half; ~1.2% mean feature error vs
+    # bf16 — ops/mlp_int8_pallas.py). Needs attn_impl pallas/auto + gelu.
     attn_impl: str = "auto"  # encoder attention: auto | pallas | xla.
     # pallas = the fused kernels (ops/attn_block_pallas.py supercell /
     # ops/attn_fused_pallas.py), ~2x the XLA attention path at ViT-B shapes
@@ -256,6 +259,9 @@ def get_args_parser() -> argparse.ArgumentParser:
     p.set_defaults(pallas_pool=True)
     p.add_argument("--attn_impl", default=d.attn_impl,
                    choices=["auto", "xla", "pallas"])
+    p.add_argument("--int8_mlp", action="store_true", default=False,
+                   help="opt-in int8 MLP kernel in the frozen backbone "
+                        "(2x MXU rate; ~1.2%% mean feature error vs bf16)")
     p.add_argument("--use_grain", action="store_true", default=False)
     p.add_argument("--scan_blocks", action="store_true", default=False)
     p.add_argument("--debug_nans", action="store_true", default=False)

@@ -28,7 +28,8 @@ def build_backbone_config(cfg: TrainConfig) -> ViTConfig:
              "none": jnp.float32, "float16": jnp.bfloat16}[cfg.amp]
     kw = dict(img_size=cfg.image_size, dtype=dtype,
               attn_impl=getattr(cfg, "attn_impl", "xla"),
-              scan_blocks=getattr(cfg, "scan_blocks", False))
+              scan_blocks=getattr(cfg, "scan_blocks", False),
+              int8_mlp=getattr(cfg, "int8_mlp", False))
     if cfg.simmim:
         return simmim_vit_base_patch16(**kw)
     if cfg.openclip:

@@ -84,6 +84,10 @@ class ViTConfig:
     # cls token maps D -> proj_dim (models_more.py:55-60 — cls-path embed
     # dim differs from the patch-token width)
     attn_impl: str = "xla"  # xla | pallas (fused flash-attention kernel)
+    int8_mlp: bool = False  # OPT-IN: fused int8 MLP kernel (2x MXU rate,
+    # ~17% off the MLP half at ViT-B bench shapes; ~1.2% mean feature
+    # error vs bf16 — see ops/mlp_int8_pallas.py). Takes effect on the
+    # Pallas supercell path with mlp_type="gelu".
     scan_blocks: bool = False  # lax.scan over layers: one traced block body
     # (depth× smaller HLO, much faster compiles for deep ViTs); params live
     # stacked under 'blocks/block' instead of per-layer 'blocks_i'. The
@@ -309,6 +313,19 @@ class _AttnParams(nn.Module):
         return qkv, proj
 
 
+class _MlpParams(nn.Module):
+    """The Mlp submodule's param tree, for the fused int8 MLP path."""
+
+    dim: int
+    hidden: int
+
+    @nn.compact
+    def __call__(self):
+        fc1 = _DenseParams(self.hidden, self.dim, name="fc1")()
+        fc2 = _DenseParams(self.dim, self.hidden, name="fc2")()
+        return fc1, fc2
+
+
 class Block(nn.Module):
     cfg: ViTConfig
     layer_idx: int = 0
@@ -343,6 +360,21 @@ class Block(nn.Module):
                     c.norm_eps, k_interp),
                 (x.astype(c.dtype), qkv_k, qkv_b, g1, b1, proj_k, proj_b),
                 (True, False, False, False, False, False, False))
+            if c.int8_mlp and c.mlp_type == "gelu":
+                # fused int8 MLP half (opt-in): LN2 + per-token quant +
+                # int8 fc1 + tanh-gelu + requant + int8 fc2 + residual.
+                # Same param tree as the standard path via holders.
+                from ep_tpu.ops.mlp_int8_pallas import mlp_int8_fused
+                g2, b2 = _LNParams(D, name="norm2")()
+                (fc1_k, fc1_b), (fc2_k, fc2_b) = _MlpParams(
+                    D, int(D * c.mlp_ratio), name="mlp")()
+                x = data_parallel_call(
+                    lambda x_, w1, b1_, w2, b2_, g_, be_: mlp_int8_fused(
+                        x_, w1, b1_, w2, b2_, g_, be_, c.norm_eps,
+                        k_interp),
+                    (x, fc1_k, fc1_b, fc2_k, fc2_b, g2, b2),
+                    (True, False, False, False, False, False, False))
+                return x, None
             h = nn.LayerNorm(epsilon=c.norm_eps, dtype=c.dtype,
                              name="norm2")(x)
             if c.mlp_type == "swiglu":

@@ -1,0 +1,145 @@
+"""int8 fused MLP half: LN2 + per-token quant + int8 fc1 + tanh-GELU +
+requant + int8 fc2 + residual, one Pallas program per image.
+
+The v5e MXU runs int8 at 2x the bf16 rate. XLA-level dynamic quantization
+only won ~14% (r2 measurement: the per-token amax/round/cast VPU passes
+materialize through HBM and eat the MXU win); fused in-kernel, the same
+scheme measures 5.17 vs 6.22 ms for the ViT-B bench MLP half (r3), ~17%.
+
+Scheme: weights per-output-channel symmetric int8 (computed on the fly in
+XLA — O(D^2) per step, noise next to the O(B*T*D^2) matmul; no state or
+checkpoint plumbing), activations per-token symmetric int8 computed
+in-kernel. Mean relative output error vs the bf16 path ~1.2% — larger
+than bf16 ulp, so this is OPT-IN (--int8_mlp) for users whose probing
+tolerance allows it; the default path stays bf16.
+
+Counterpart in the reference: none (fp16 AMP only, main_linprobe.py:604);
+this is TPU-native headroom. Probing never differentiates the encoder; a
+custom VJP recomputes the bf16 MLP for the backward so finetuning stays
+correct (straight-through estimator w.r.t. quantization).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def quantize_weight(w: jnp.ndarray):
+    """(D_in, D_out) -> int8 weights + (1, D_out) f32 per-channel scales."""
+    wf = w.astype(jnp.float32)
+    s = jnp.max(jnp.abs(wf), axis=0, keepdims=True) / 127.0  # (1, D_out)
+    s = jnp.maximum(s, 1e-8)
+    wq = jnp.clip(jnp.round(wf / s), -127, 127).astype(jnp.int8)
+    return wq, s
+
+
+def _kernel(x_ref, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref, b2_ref,
+            g_ref, be_ref, out_ref, *, eps: float):
+    x = x_ref[0]  # (T, D)
+    xf = x.astype(jnp.float32)
+    mu = xf.mean(axis=-1, keepdims=True)
+    var = ((xf - mu) ** 2).mean(axis=-1, keepdims=True)
+    h = (xf - mu) * jax.lax.rsqrt(var + eps) * g_ref[0] + be_ref[0]
+    sx = jnp.maximum(jnp.abs(h).max(axis=-1, keepdims=True), 1e-8) / 127.0
+    hq = jnp.round(h / sx).astype(jnp.int8)
+    acc = jax.lax.dot_general(  # (T, 4D) s32, int8 MXU
+        hq, w1_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    a = acc.astype(jnp.float32) * (sx * s1_ref[0]) + b1_ref[0]
+    a = jax.nn.gelu(a.astype(jnp.bfloat16), approximate=True).astype(
+        jnp.float32)
+    sa = jnp.maximum(jnp.abs(a).max(axis=-1, keepdims=True), 1e-8) / 127.0
+    aq = jnp.round(a / sa).astype(jnp.int8)
+    acc2 = jax.lax.dot_general(  # (T, D) s32
+        aq, w2_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    y = acc2.astype(jnp.float32) * (sa * s2_ref[0]) + b2_ref[0]
+    out_ref[0] = (xf + y).astype(out_ref.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+def mlp_int8_fused(x, w1, b1, w2, b2, gamma, beta,
+                   eps: float = 1e-6, interpret: bool = False):
+    """x + fc2(gelu(fc1(LN(x)))) with int8 matmuls.
+
+    x (B,T,D); w1 (D,4D); w2 (4D,D); full-precision weights in — the
+    per-channel int8 quantization happens here (XLA, O(D^2))."""
+    return _fwd_impl(x, w1, b1, w2, b2, gamma, beta, eps, interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("eps", "interpret"))
+def _fwd_impl(x, w1, b1, w2, b2, gamma, beta, eps, interpret):
+    B, T, D = x.shape
+    DH = w1.shape[1]
+    # resident int8 weights + double-buffered x/out + s32/f32 (T,DH)
+    # transients; ViT-H (D=1280) overflows the scoped VMEM -> bf16 path
+    est = (D * DH * 2 + 4 * T * D * 2 + T * DH * 4 * 2 + T * DH)
+    if est > 12 * 1024 * 1024 and not interpret:
+        return _ref_forward(x, w1, b1, w2, b2, gamma, beta, eps)
+    w1q, s1 = quantize_weight(w1)
+    w2q, s2 = quantize_weight(w2)
+    const = lambda b: (0, 0)
+    return pl.pallas_call(
+        functools.partial(_kernel, eps=eps),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, T, D), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, DH), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, DH), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, DH), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((DH, D), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D), const, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, T, D), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, T, D), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * T * D * DH,
+            bytes_accessed=2 * B * T * D * x.dtype.itemsize + 2 * D * DH,
+            transcendentals=B * T * DH,
+        ),
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
+        interpret=interpret,
+    )(x, w1q, s1,
+      b1.astype(jnp.float32).reshape(1, DH), w2q, s2,
+      b2.astype(jnp.float32).reshape(1, D),
+      gamma.astype(jnp.float32).reshape(1, D),
+      beta.astype(jnp.float32).reshape(1, D))
+
+
+def _ref_forward(x, w1, b1, w2, b2, gamma, beta, eps):
+    """bf16 XLA composition of the same block half (fallback + backward)."""
+    xf = x.astype(jnp.float32)
+    mu = xf.mean(-1, keepdims=True)
+    var = ((xf - mu) ** 2).mean(-1, keepdims=True)
+    h = ((xf - mu) * jax.lax.rsqrt(var + eps) * gamma + beta).astype(x.dtype)
+    h = (h @ w1.astype(x.dtype)).astype(jnp.float32) + b1
+    h = jax.nn.gelu(h.astype(x.dtype), approximate=True)
+    h = (h @ w2.astype(x.dtype)).astype(jnp.float32) + b2
+    return (xf + h).astype(x.dtype)
+
+
+def _fwd(x, w1, b1, w2, b2, gamma, beta, eps, interpret):
+    out = _fwd_impl(x, w1, b1, w2, b2, gamma, beta, eps, interpret)
+    return out, (x, w1, b1, w2, b2, gamma, beta)
+
+
+def _bwd(eps, interpret, res, g):
+    x, w1, b1, w2, b2, gamma, beta = res
+    _, vjp = jax.vjp(
+        lambda *a: _ref_forward(*a, eps), x, w1, b1, w2, b2, gamma, beta)
+    return vjp(g)
+
+
+mlp_int8_fused.defvjp(_fwd, _bwd)

@@ -184,6 +184,66 @@ def test_attention_qkv_fused_head_group_path(rng, T):
                                rtol=1e-4, atol=1e-4)
 
 
+def test_mlp_int8_fused_close_to_bf16(rng):
+    """Opt-in int8 MLP kernel (interpret): output within the documented
+    ~1-2% tolerance of the bf16 composition; backward = exact bf16 VJP."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from ep_tpu.ops.mlp_int8_pallas import _ref_forward, mlp_int8_fused
+
+    B, T, D = 2, 9, 32
+    DH = 4 * D
+    ks = jax.random.split(rng, 5)
+    x = jax.random.normal(ks[0], (B, T, D), jnp.float32)
+    w1 = jax.random.normal(ks[1], (D, DH), jnp.float32) * 0.1
+    b1 = jax.random.normal(ks[2], (DH,), jnp.float32) * 0.05
+    w2 = jax.random.normal(ks[3], (DH, D), jnp.float32) * 0.1
+    b2 = jax.random.normal(ks[4], (D,), jnp.float32) * 0.05
+    g = jnp.ones((D,), jnp.float32)
+    be = jnp.zeros((D,), jnp.float32)
+
+    out = mlp_int8_fused(x, w1, b1, w2, b2, g, be, 1e-6, True)
+    ref = _ref_forward(x, w1, b1, w2, b2, g, be, 1e-6)
+    denom = float(jnp.abs(ref).mean())
+    rel = float(jnp.abs(out - ref).mean()) / denom
+    assert rel < 0.05, rel
+
+    # custom VJP routes through the bf16 recompute — finite, right shapes
+    grads = jax.grad(lambda *a: (mlp_int8_fused(
+        *a, 1e-6, True) ** 2).sum(), argnums=(0, 1, 3))(
+        x, w1, b1, w2, b2, g, be)
+    for got, want in zip(grads, (x, w1, w2)):
+        assert got.shape == want.shape
+        assert bool(jnp.isfinite(got).all())
+
+
+def test_int8_mlp_model_path(rng, monkeypatch):
+    """--int8_mlp through the full backbone (interpret kernels): features
+    stay close to the standard path and the param tree is identical."""
+    monkeypatch.setenv("EP_TPU_PALLAS_INTERPRET", "1")
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from ep_tpu.models.vit import ViTConfig, VisionTransformer
+
+    x = jax.random.normal(rng, (2, 32, 32, 3), jnp.float32)
+    outs, trees = [], []
+    for int8 in (False, True):
+        cfg = ViTConfig(img_size=32, patch_size=8, embed_dim=64, depth=2,
+                        num_heads=4, dtype=jnp.float32,
+                        attn_impl="pallas", int8_mlp=int8)
+        model = VisionTransformer(cfg)
+        variables = model.init(jax.random.key(0), jnp.zeros((2, 32, 32, 3)),
+                               "pos")
+        trees.append(jax.tree_util.tree_structure(variables))
+        outs.append(np.asarray(model.apply(variables, x, "pos")[0],
+                               np.float32))
+    assert trees[0] == trees[1]
+    denom = np.abs(outs[0]).mean()
+    assert np.abs(outs[1] - outs[0]).mean() / denom < 0.05
+
+
 def test_aot_cache_roundtrip(tmp_path):
     """Serialized executable reloads from disk into a fresh wrapper and
     produces identical results; key mismatch (different shapes) recompiles."""
