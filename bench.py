@@ -133,9 +133,10 @@ def main():
     _log(f"median pipelined step {step_t * 1000:.1f} ms (chains of {K})")
 
     img_s_chip = cfg.batch_size / step_t / n_dev
+    prec = "bf16+int8mlp" if cfg.int8_mlp else "bf16"
     result = {
         "metric": f"probe-train images/sec/chip (frozen {cfg.model} + EP32 "
-                  f"head, bf16, bs{BATCH}, pipelined)",
+                  f"head, {prec}, bs{BATCH}, pipelined)",
         "value": round(img_s_chip, 1),
         "unit": "images/sec/chip",
         "vs_baseline": round(img_s_chip / REF_BASELINE_IMG_S, 3),

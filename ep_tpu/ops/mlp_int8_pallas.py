@@ -38,7 +38,10 @@ def quantize_weight(w: jnp.ndarray):
 
 
 def _kernel(x_ref, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref, b2_ref,
-            g_ref, be_ref, out_ref, *, eps: float):
+            g_ref, be_ref, out_ref, *, eps: float, stripes: int):
+    """stripes > 1 processes the hidden dim in 128-aligned column stripes
+    (weights stay fully VMEM-resident; only the (T, DH/stripes) activation
+    transients shrink) — what lets ViT-L fit the scoped VMEM."""
     x = x_ref[0]  # (T, D)
     xf = x.astype(jnp.float32)
     mu = xf.mean(axis=-1, keepdims=True)
@@ -46,47 +49,71 @@ def _kernel(x_ref, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref, b2_ref,
     h = (xf - mu) * jax.lax.rsqrt(var + eps) * g_ref[0] + be_ref[0]
     sx = jnp.maximum(jnp.abs(h).max(axis=-1, keepdims=True), 1e-8) / 127.0
     hq = jnp.round(h / sx).astype(jnp.int8)
-    acc = jax.lax.dot_general(  # (T, 4D) s32, int8 MXU
-        hq, w1_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32,
-    )
-    a = acc.astype(jnp.float32) * (sx * s1_ref[0]) + b1_ref[0]
-    a = jax.nn.gelu(a.astype(jnp.bfloat16), approximate=True).astype(
-        jnp.float32)
-    sa = jnp.maximum(jnp.abs(a).max(axis=-1, keepdims=True), 1e-8) / 127.0
-    aq = jnp.round(a / sa).astype(jnp.int8)
-    acc2 = jax.lax.dot_general(  # (T, D) s32
-        aq, w2_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32,
-    )
-    y = acc2.astype(jnp.float32) * (sa * s2_ref[0]) + b2_ref[0]
+    DH = w1_ref.shape[1]
+    ds = DH // stripes
+    y = None
+    for s in range(stripes):
+        sl = slice(s * ds, (s + 1) * ds)
+        acc = jax.lax.dot_general(  # (T, ds) s32, int8 MXU
+            hq, w1_ref[:, sl], dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        a = acc.astype(jnp.float32) * (sx * s1_ref[0, sl]) + b1_ref[0, sl]
+        a = jax.nn.gelu(a.astype(jnp.bfloat16), approximate=True).astype(
+            jnp.float32)
+        sa = jnp.maximum(jnp.abs(a).max(axis=-1, keepdims=True),
+                         1e-8) / 127.0
+        aq = jnp.round(a / sa).astype(jnp.int8)
+        acc2 = jax.lax.dot_general(  # (T, D) s32
+            aq, w2_ref[sl, :], dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        part = acc2.astype(jnp.float32) * (sa * s2_ref[0])
+        y = part if y is None else y + part
+    y = y + b2_ref[0]
     out_ref[0] = (xf + y).astype(out_ref.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
 def mlp_int8_fused(x, w1, b1, w2, b2, gamma, beta,
-                   eps: float = 1e-6, interpret: bool = False):
+                   eps: float = 1e-6, interpret: bool = False,
+                   force_stripes: int = 0):
     """x + fc2(gelu(fc1(LN(x)))) with int8 matmuls.
 
     x (B,T,D); w1 (D,4D); w2 (4D,D); full-precision weights in — the
-    per-channel int8 quantization happens here (XLA, O(D^2))."""
-    return _fwd_impl(x, w1, b1, w2, b2, gamma, beta, eps, interpret)
+    per-channel int8 quantization happens here (XLA, O(D^2)).
+    force_stripes overrides the VMEM-driven hidden-stripe choice (tests)."""
+    return _fwd_impl(x, w1, b1, w2, b2, gamma, beta, eps, interpret,
+                     force_stripes)
 
 
-@functools.partial(jax.jit, static_argnames=("eps", "interpret"))
-def _fwd_impl(x, w1, b1, w2, b2, gamma, beta, eps, interpret):
+@functools.partial(jax.jit, static_argnames=("eps", "interpret",
+                                             "force_stripes"))
+def _fwd_impl(x, w1, b1, w2, b2, gamma, beta, eps, interpret,
+              force_stripes=0):
     B, T, D = x.shape
     DH = w1.shape[1]
-    # resident int8 weights + double-buffered x/out + s32/f32 (T,DH)
-    # transients; ViT-H (D=1280) overflows the scoped VMEM -> bf16 path
-    est = (D * DH * 2 + 4 * T * D * 2 + T * DH * 4 * 2 + T * DH)
-    if est > 12 * 1024 * 1024 and not interpret:
+    # resident int8 weights + double-buffered x/out blocks + s32/f32
+    # (T, DH/stripes) transients + f32 accumulator. Striping the hidden
+    # dim (128-aligned slices) shrinks the transients without streaming
+    # weights; ViT-L fits at stripes=4. ViT-H's 13 MB of weights alone
+    # overflow the scoped VMEM -> bf16 fallback.
+    stripes = 1
+    def est(s):
+        return (2 * D * DH + 4 * T * D * 2 + (T * (DH // s) * 4 * 2)
+                + T * (DH // s) + T * D * 4)
+    while est(stripes) > 12 * 1024 * 1024 and stripes < 8 \
+            and (DH // (2 * stripes)) % 128 == 0:
+        stripes *= 2
+    if force_stripes:
+        stripes = force_stripes
+    elif est(stripes) > 12 * 1024 * 1024 and not interpret:
         return _ref_forward(x, w1, b1, w2, b2, gamma, beta, eps)
     w1q, s1 = quantize_weight(w1)
     w2q, s2 = quantize_weight(w2)
     const = lambda b: (0, 0)
     return pl.pallas_call(
-        functools.partial(_kernel, eps=eps),
+        functools.partial(_kernel, eps=eps, stripes=stripes),
         grid=(B,),
         in_specs=[
             pl.BlockSpec((1, T, D), lambda b: (b, 0, 0),
@@ -130,12 +157,13 @@ def _ref_forward(x, w1, b1, w2, b2, gamma, beta, eps):
     return (xf + h).astype(x.dtype)
 
 
-def _fwd(x, w1, b1, w2, b2, gamma, beta, eps, interpret):
-    out = _fwd_impl(x, w1, b1, w2, b2, gamma, beta, eps, interpret)
+def _fwd(x, w1, b1, w2, b2, gamma, beta, eps, interpret, force_stripes):
+    out = _fwd_impl(x, w1, b1, w2, b2, gamma, beta, eps, interpret,
+                    force_stripes)
     return out, (x, w1, b1, w2, b2, gamma, beta)
 
 
-def _bwd(eps, interpret, res, g):
+def _bwd(eps, interpret, force_stripes, res, g):
     x, w1, b1, w2, b2, gamma, beta = res
     _, vjp = jax.vjp(
         lambda *a: _ref_forward(*a, eps), x, w1, b1, w2, b2, gamma, beta)

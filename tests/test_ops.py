@@ -209,6 +209,12 @@ def test_mlp_int8_fused_close_to_bf16(rng):
     rel = float(jnp.abs(out - ref).mean()) / denom
     assert rel < 0.05, rel
 
+    # hidden-striped variant (the ViT-L VMEM path): same math, per-stripe
+    # activation scales — stays within the same tolerance of the output
+    out2 = mlp_int8_fused(x, w1, b1, w2, b2, g, be, 1e-6, True, 2)
+    rel2 = float(jnp.abs(out2 - ref).mean()) / denom
+    assert rel2 < 0.05, rel2
+
     # custom VJP routes through the bf16 recompute — finite, right shapes
     grads = jax.grad(lambda *a: (mlp_int8_fused(
         *a, 1e-6, True) ** 2).sum(), argnums=(0, 1, 3))(
