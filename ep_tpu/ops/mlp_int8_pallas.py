@@ -107,8 +107,27 @@ def _fwd_impl(x, w1, b1, w2, b2, gamma, beta, eps, interpret,
         stripes *= 2
     if force_stripes:
         stripes = force_stripes
-    elif est(stripes) > 12 * 1024 * 1024 and not interpret:
-        return _ref_forward(x, w1, b1, w2, b2, gamma, beta, eps)
+    elif est(stripes) > 12 * 1024 * 1024:
+        # resident weights don't fit (ViT-H): stream weight stripes with
+        # BB=2 images per program (the standard reduction grid). Only
+        # worth it when 2 images amortize the stream — at BB=1 the 13 MB
+        # weight traffic per image eats the int8 win.
+        # NOTE: at ViT-H (est_s 12.6 MB) the real Mosaic footprint still
+        # OOM'd VMEM at ns=8 and ns=10 — the estimate misses the live-f32
+        # LN/residual temporaries — so the threshold is conservative and
+        # ViT-H takes the bf16 fallback. Streaming at BB=1 is pointless:
+        # 13 MB of weight traffic per image eats the int8 win.
+        ns = 10
+        ds = DH // ns
+        BB = 2
+        est_s = (4 * D * ds + 4 * BB * T * D * 2 + BB * T * D * 4
+                 + BB * T * ds * 9)
+        if (B % BB == 0 and DH % ns == 0 and ds % 128 == 0
+                and est_s <= int(11 * 1024 * 1024)):
+            return _fwd_streamed(x, w1, b1, w2, b2, gamma, beta, eps,
+                                 interpret, ns)
+        if not interpret:
+            return _ref_forward(x, w1, b1, w2, b2, gamma, beta, eps)
     w1q, s1 = quantize_weight(w1)
     w2q, s2 = quantize_weight(w2)
     const = lambda b: (0, 0)
@@ -140,6 +159,100 @@ def _fwd_impl(x, w1, b1, w2, b2, gamma, beta, eps, interpret,
         interpret=interpret,
     )(x, w1q, s1,
       b1.astype(jnp.float32).reshape(1, DH), w2q, s2,
+      b2.astype(jnp.float32).reshape(1, D),
+      gamma.astype(jnp.float32).reshape(1, D),
+      beta.astype(jnp.float32).reshape(1, D))
+
+
+def _kernel_streamed(x_ref, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref,
+                     b2_ref, g_ref, be_ref, out_ref, acc_ref, *,
+                     eps: float, nstripes: int):
+    """Weight-streamed variant for backbones whose int8 weights alone
+    exceed VMEM (ViT-H: 13 MB). Grid (B/BB, S): the x/out blocks stay
+    resident across the S stripe steps (their index maps ignore s — the
+    standard matmul-reduction pattern, no HBM revisits) while the weight
+    stripes stream; BB images per program amortize the weight traffic
+    (~13 MB per BB images at ViT-H)."""
+    s = pl.program_id(1)
+    xb = x_ref[...]  # (BB, T, D)
+    BB, T, D = xb.shape
+    x = xb.reshape(BB * T, D)
+    xf = x.astype(jnp.float32)
+    mu = xf.mean(axis=-1, keepdims=True)
+    var = ((xf - mu) ** 2).mean(axis=-1, keepdims=True)
+    h = (xf - mu) * jax.lax.rsqrt(var + eps) * g_ref[0] + be_ref[0]
+    sx = jnp.maximum(jnp.abs(h).max(axis=-1, keepdims=True), 1e-8) / 127.0
+    hq = jnp.round(h / sx).astype(jnp.int8)
+    acc = jax.lax.dot_general(  # (BB*T, DH/S) s32
+        hq, w1_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    a = acc.astype(jnp.float32) * (sx * s1_ref[0]) + b1_ref[0]
+    a = jax.nn.gelu(a.astype(jnp.bfloat16), approximate=True).astype(
+        jnp.float32)
+    sa = jnp.maximum(jnp.abs(a).max(axis=-1, keepdims=True), 1e-8) / 127.0
+    aq = jnp.round(a / sa).astype(jnp.int8)
+    part = jax.lax.dot_general(  # (BB*T, D) s32
+        aq, w2_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32) * (sa * s2_ref[0])
+
+    @pl.when(s == 0)
+    def _():
+        acc_ref[...] = part
+
+    @pl.when(s > 0)
+    def _():
+        acc_ref[...] += part
+
+    @pl.when(s == nstripes - 1)
+    def _():
+        y = acc_ref[...] + b2_ref[0]
+        out_ref[...] = (xf + y).reshape(BB, T, D).astype(out_ref.dtype)
+
+
+def _fwd_streamed(x, w1, b1, w2, b2, gamma, beta, eps, interpret,
+                  nstripes: int = 8):
+    B, T, D = x.shape
+    DH = w1.shape[1]
+    BB = 2 if B % 2 == 0 else 1
+    ds = DH // nstripes
+    w1q, s1 = quantize_weight(w1)
+    w2q, s2 = quantize_weight(w2)
+    const = lambda b, s: (0, 0)
+    return pl.pallas_call(
+        functools.partial(_kernel_streamed, eps=eps, nstripes=nstripes),
+        grid=(B // BB, nstripes),
+        in_specs=[
+            pl.BlockSpec((BB, T, D), lambda b, s: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, ds), lambda b, s: (0, s),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ds), lambda b, s: (0, s),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ds), lambda b, s: (0, s),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ds, D), lambda b, s: (s, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D), const, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((BB, T, D), lambda b, s: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, T, D), x.dtype),
+        scratch_shapes=[pltpu.VMEM((BB * T, D), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * T * D * DH,
+            bytes_accessed=(2 * B * T * D * x.dtype.itemsize
+                            + (B // BB) * 2 * D * DH),
+            transcendentals=B * T * DH,
+        ),
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        interpret=interpret,
+    )(x, w1q, s1, b1.astype(jnp.float32).reshape(1, DH), w2q, s2,
       b2.astype(jnp.float32).reshape(1, D),
       gamma.astype(jnp.float32).reshape(1, D),
       beta.astype(jnp.float32).reshape(1, D))

@@ -215,6 +215,13 @@ def test_mlp_int8_fused_close_to_bf16(rng):
     rel2 = float(jnp.abs(out2 - ref).mean()) / denom
     assert rel2 < 0.05, rel2
 
+    # weight-streamed reduction-grid variant (the ViT-H path): x/out
+    # blocks resident, weight stripes streamed, f32 scratch accumulator
+    from ep_tpu.ops.mlp_int8_pallas import _fwd_streamed
+    out3 = _fwd_streamed(x, w1, b1, w2, b2, g, be, 1e-6, True, 2)
+    rel3 = float(jnp.abs(out3 - ref).mean()) / denom
+    assert rel3 < 0.05, rel3
+
     # custom VJP routes through the bf16 recompute — finite, right shapes
     grads = jax.grad(lambda *a: (mlp_int8_fused(
         *a, 1e-6, True) ** 2).sum(), argnums=(0, 1, 3))(
