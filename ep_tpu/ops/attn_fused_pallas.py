@@ -104,6 +104,15 @@ def _fwd_impl(qkv, num_heads, scale, temperature, interpret, block_b):
     B, T, D3 = qkv.shape
     D = D3 // 3
     Dh = D // num_heads
+    # per-image VMEM estimate: double-buffered qkv/out blocks + one
+    # head-group of f32 logits. Long sequences (448px probing -> T=1025)
+    # overflow the scoped limit -> XLA attention handles any T.
+    t_pad = ((T + 127) // 128) * 128
+    g = 8 if (128 % Dh != 0 and num_heads % 8 == 0) else 1
+    est = (2 * T * D3 * qkv.dtype.itemsize + 2 * T * D * qkv.dtype.itemsize
+           + g * T * t_pad * 4)
+    if est > 13 * 1024 * 1024 and not interpret:
+        return _fwd_xla(qkv, num_heads, scale, temperature)
     if 128 % Dh != 0 and num_heads % 8 == 0:
         # head width doesn't divide the 128-lane tile (e.g. ViT-H Dh=80):
         # in-kernel head slicing degenerates into lane-crossing relayouts.
@@ -169,6 +178,21 @@ def _fwd_head_group(qkv, num_heads, scale, temperature, interpret,
         interpret=interpret,
     )(qkv4, qkv4, qkv4)
     return out.reshape(B, T, D)
+
+
+def _fwd_xla(qkv, num_heads, scale, temperature):
+    """XLA fallback of the same contraction (any T; used when a per-image
+    kernel block would overflow VMEM)."""
+    B, T, D3 = qkv.shape
+    D = D3 // 3
+    q, k, v = _split_heads(qkv, num_heads)
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                        preferred_element_type=jnp.float32) * (
+        scale / temperature)
+    p = jax.nn.softmax(logits, axis=-1)
+    o = jnp.einsum("bhqk,bhkd->bhqd", p.astype(v.dtype), v,
+                   preferred_element_type=jnp.float32).astype(v.dtype)
+    return o.transpose(0, 2, 1, 3).reshape(B, T, D)
 
 
 def _split_heads(qkv, num_heads):

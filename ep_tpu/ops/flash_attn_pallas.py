@@ -1,4 +1,12 @@
-"""Pallas flash attention for the ViT encoder (the framework's hot op).
+"""Pallas attention on pre-split (B,H,T,Dh) tensors.
+
+STATUS (r3): a library kernel, not on the default path. The encoder
+routes through ops/attn_fused_pallas.py (natural qkv layout — measured
+faster at probe shapes because it avoids the head-split transpose this
+kernel's layout forces) and falls back to XLA attention for sequences
+whose per-image blocks overflow VMEM. This kernel remains available for
+manual experimentation at intermediate T where a head-group decomposition
+of split tensors could win; its parity is pinned by tests/test_ops.py.
 
 At probe sequence lengths (T = 197–257 tokens) a full flash decomposition is
 unnecessary — K/V for one (batch, head-group) fit comfortably in VMEM — but

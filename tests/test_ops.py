@@ -184,6 +184,28 @@ def test_attention_qkv_fused_head_group_path(rng, T):
                                rtol=1e-4, atol=1e-4)
 
 
+def test_attention_qkv_fused_long_t_xla_fallback(rng):
+    """T long enough to overflow the per-image VMEM block (448px probing
+    -> T=1025) must route to the XLA contraction — even off-TPU with
+    interpret=False, since the fallback never reaches pallas."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from ep_tpu.ops.attention import mha
+    from ep_tpu.ops.attn_fused_pallas import attention_qkv_fused
+
+    B, T, H, Dh = 1, 1100, 12, 64
+    D = H * Dh
+    scale = Dh ** -0.5
+    qkv = jax.random.normal(rng, (B, T, 3 * D), jnp.float32)
+    out = attention_qkv_fused(qkv, H, scale, 1.0, False)
+    x = qkv.reshape(B, T, 3, H, Dh).transpose(2, 0, 3, 1, 4)
+    ref = mha(x[0], x[1], x[2], scale)
+    ref = ref.transpose(0, 2, 1, 3).reshape(B, T, D)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
 def test_mlp_int8_fused_close_to_bf16(rng):
     """Opt-in int8 MLP kernel (interpret): output within the documented
     ~1-2% tolerance of the bf16 composition; backward = exact bf16 VJP."""
