@@ -104,23 +104,29 @@ def _fwd_impl(qkv, num_heads, scale, temperature, interpret, block_b):
     B, T, D3 = qkv.shape
     D = D3 // 3
     Dh = D // num_heads
-    # per-image VMEM estimate: double-buffered qkv/out blocks + one
-    # head-group of f32 logits. Long sequences (448px probing -> T=1025)
-    # overflow the scoped limit -> XLA attention handles any T.
+    # per-image VMEM estimates (per dispatch variant — the head-group
+    # kernel only stages 8-head stripes, NOT full qkv rows). Long
+    # sequences (448px probing -> T=1025) overflow the scoped limit ->
+    # XLA attention handles any T.
     t_pad = ((T + 127) // 128) * 128
-    g = 8 if (128 % Dh != 0 and num_heads % 8 == 0) else 1
-    est = (2 * T * D3 * qkv.dtype.itemsize + 2 * T * D * qkv.dtype.itemsize
-           + g * T * t_pad * 4)
-    if est > 13 * 1024 * 1024 and not interpret:
-        return _fwd_xla(qkv, num_heads, scale, temperature)
     if 128 % Dh != 0 and num_heads % 8 == 0:
         # head width doesn't divide the 128-lane tile (e.g. ViT-H Dh=80):
-        # in-kernel head slicing degenerates into lane-crossing relayouts.
-        # Use the head-group grid instead — BlockSpec index maps slice
-        # 8-head stripes at the DMA level (legal blocks: dim -2 = 8, dim
-        # -1 = Dh = the full array dim). For Dh | 128 the single-program
-        # kernel wins: it reads qkv once instead of 3 strided passes.
-        return _fwd_head_group(qkv, num_heads, scale, temperature, interpret)
+        # in-kernel head slicing degenerates into lane-crossing relayouts;
+        # the head-group grid slices 8-head stripes at the DMA level.
+        # Its VMEM: 3 q/k/v stripes + out, double-buffered, + (8,T,T) f32
+        # logits — NOT full qkv rows.
+        est_g = (8 * 2 * T * 8 * Dh * qkv.dtype.itemsize
+                 + 8 * T * t_pad * 4)
+        if est_g > 13 * 1024 * 1024 and not interpret:
+            return _fwd_xla(qkv, num_heads, scale, temperature)
+        return _fwd_head_group(qkv, num_heads, scale, temperature,
+                               interpret)
+    # single-program kernel (Dh | 128): stages full qkv rows — wins at
+    # probe shapes by reading qkv once instead of 3 strided passes
+    est = (2 * T * D3 * qkv.dtype.itemsize + 2 * T * D * qkv.dtype.itemsize
+           + T * t_pad * 4)
+    if est > 13 * 1024 * 1024 and not interpret:
+        return _fwd_xla(qkv, num_heads, scale, temperature)
     out = pl.pallas_call(
         functools.partial(_kernel, H=num_heads, Dh=Dh, scale=scale,
                           temperature=temperature),
