@@ -104,7 +104,8 @@ def main():
     for _ in range(2):  # compile + warm up
         state, metrics = train_step(state, dimages, dlabels)
         float(jax.device_get(metrics["loss"]))
-    _log(f"compile+warmup took {time.perf_counter() - t0:.1f}s")
+    compile_s = time.perf_counter() - t0
+    _log(f"compile+warmup took {compile_s:.1f}s")
 
     # single-step wall time with a hard sync each step — includes the full
     # host->relay->chip dispatch round-trip (reported for transparency)
@@ -143,7 +144,10 @@ def main():
         "per_step_sync_img_s": round(cfg.batch_size / sync_t / n_dev, 1),
         "cached_mode_img_s": _bench_cached_mode(cfg, mesh),
     }
-    if not cfg.int8_mlp and cfg.model.startswith("vit_base"):
+    if (not cfg.int8_mlp and cfg.model.startswith("vit_base")
+            and compile_s < 400):
+        # skip the secondary when the main compile was already slow (cold
+        # AOT cache + unlucky relay): keeps the whole bench bounded
         # secondary: opt-in int8 MLP kernel (--int8_mlp; ~1.2% mean
         # feature error vs bf16, ops/mlp_int8_pallas.py). The headline
         # stays bf16 — exact-feature probing is the default contract.
