@@ -102,6 +102,9 @@ def main(cfg: TrainConfig) -> dict:
         # boundary (optax.MultiSteps emits zero updates in between)
         import optax
         tx = optax.MultiSteps(tx, every_k_schedule=cfg.accum_iter)
+    if cfg.int8_mlp and cfg.attn_impl == "xla":
+        print("| WARNING: --int8_mlp takes effect on the Pallas block path "
+              "only; --attn_impl xla leaves the MLP in bf16")
     state = create_train_state(variables, tx, cfg.finetuning)
     if not cfg.finetuning and cfg.amp == "bfloat16":
         # probing never updates the backbone: keep it in the compute dtype
