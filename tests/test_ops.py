@@ -265,8 +265,10 @@ def test_int8_mlp_model_path(rng, monkeypatch):
     x = jax.random.normal(rng, (2, 32, 32, 3), jnp.float32)
     outs, trees = [], []
     for int8 in (False, True):
+        # scan_blocks=True mirrors the bench config: the int8 branch's
+        # param holders must stack identically under nn.scan
         cfg = ViTConfig(img_size=32, patch_size=8, embed_dim=64, depth=2,
-                        num_heads=4, dtype=jnp.float32,
+                        num_heads=4, dtype=jnp.float32, scan_blocks=True,
                         attn_impl="pallas", int8_mlp=int8)
         model = VisionTransformer(cfg)
         variables = model.init(jax.random.key(0), jnp.zeros((2, 32, 32, 3)),

@@ -109,6 +109,34 @@ def test_ep_pool_sharded_values_and_grads(mesh8):
                                    rtol=1e-4, atol=1e-5)
 
 
+def test_attn_impl_auto_gate_mesh_shapes():
+    """auto enables kernels on data-parallel-only meshes and disables them
+    when a tensor-parallel axis is active (qkv is head-sharded there);
+    data_parallel_call likewise passes through unwrapped on TP meshes."""
+    from ep_tpu.models.vit import ViTConfig, _pallas_attn_enabled
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    auto = ViTConfig(attn_impl="auto")
+    with M.use_mesh(M.make_mesh(8, 1)):
+        assert _pallas_attn_enabled(auto)
+    with M.use_mesh(M.make_mesh(4, 2)) as tp_mesh:
+        assert not _pallas_attn_enabled(auto)
+        assert _pallas_attn_enabled(ViTConfig(attn_impl="pallas"))
+        # TP mesh: the bridge must not shard_map (weights aren't replicated)
+        called = {}
+
+        def f(t):
+            called["direct"] = True
+            return t + 1
+
+        out = M.data_parallel_call(f, (jnp.zeros((8, 2)),), (True,),
+                                   mesh=tp_mesh)
+        assert called.get("direct") and out.shape == (8, 2)
+    M.set_current_mesh(None)
+    assert not _pallas_attn_enabled(auto) or jax.device_count() == 1
+
+
 def test_train_step_pallas_path_on_virtual_mesh(mesh8, monkeypatch):
     """Full jitted train step with BOTH fused kernels engaged (interpret
     mode via EP_TPU_PALLAS_INTERPRET) on an 8-device data mesh: the loss
