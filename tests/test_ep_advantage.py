@@ -30,3 +30,28 @@ def test_ep_beats_gap_on_needle(tmp_path, monkeypatch):
     ep_acc = run("ep")
     assert ep_acc > gap_acc + 5.0, (gap_acc, ep_acc)
     assert ep_acc > 55.0  # chance is 12.5%
+
+
+@pytest.mark.slow
+def test_ep_advantage_survives_int8_backbone(tmp_path, monkeypatch):
+    """The ~1.2% int8 feature error must not erase the EP-beats-GAP
+    phenomenon: same needle protocol with the int8 MLP kernel engaged
+    (interpret mode) in the frozen backbone."""
+    monkeypatch.setenv("EP_TPU_PALLAS_INTERPRET", "1")
+    monkeypatch.setattr(
+        linprobe, "build_backbone_config",
+        lambda cfg: TINY.replace(attn_impl="pallas", int8_mlp=True))
+
+    def run(head):
+        cfg = TrainConfig(
+            dataset_name="fake_needle", nb_classes=8, image_size=32,
+            batch_size=64, cls_features=head, epochs=8, warmup_epochs=1,
+            blr=8.0, ep_queries=4, output_dir="", num_workers=2,
+            amp="float32", seed=0, pallas_pool=False, attn_impl="pallas",
+            int8_mlp=True)
+        return linprobe.main(cfg)["max_accuracy"]
+
+    gap_acc = run("pos")
+    ep_acc = run("ep")
+    assert ep_acc > gap_acc + 5.0, (gap_acc, ep_acc)
+    assert ep_acc > 55.0
