@@ -108,24 +108,25 @@ def _fwd_impl(x, w1, b1, w2, b2, gamma, beta, eps, interpret,
     if force_stripes:
         stripes = force_stripes
     elif est(stripes) > 12 * 1024 * 1024:
-        # resident weights don't fit (ViT-H): stream weight stripes with
-        # BB=2 images per program (the standard reduction grid). Only
-        # worth it when 2 images amortize the stream — at BB=1 the 13 MB
-        # weight traffic per image eats the int8 win.
-        # NOTE: at ViT-H (est_s 12.6 MB) the real Mosaic footprint still
-        # OOM'd VMEM at ns=8 and ns=10 — the estimate misses the live-f32
-        # LN/residual temporaries — so the threshold is conservative and
-        # ViT-H takes the bf16 fallback. Streaming at BB=1 is pointless:
-        # 13 MB of weight traffic per image eats the int8 win.
-        ns = 10
+        # BOTH weights resident don't fit (ViT-H: 13 MB int8). Two-kernel
+        # split: the fc1 kernel and the fc2 kernel each keep their OWN
+        # ~6.5 MB weight resident, handing off a per-token-per-stripe-
+        # quantized int8 intermediate through HBM (int8 halves that
+        # traffic vs a bf16 hand-off). Measured at ViT-H bench shapes:
+        # 7.2 vs 10.3 ms for the bf16 MLP half. (A single weight-streamed
+        # reduction-grid kernel was tried first and OOM'd real VMEM —
+        # its est missed the live-f32 LN/residual temporaries.)
+        ns = 8
         ds = DH // ns
-        BB = 2
-        est_s = (4 * D * ds + 4 * BB * T * D * 2 + BB * T * D * 4
-                 + BB * T * ds * 9)
-        if (B % BB == 0 and DH % ns == 0 and ds % 128 == 0
-                and est_s <= int(11 * 1024 * 1024)):
-            return _fwd_streamed(x, w1, b1, w2, b2, gamma, beta, eps,
-                                 interpret, ns)
+        # per-kernel footprints; the 15 MB bound matches the measured
+        # compile at ViT-H (fc1 ≈ 14.2 MB with double-buffered aq out)
+        est2 = max(
+            D * DH + 4 * T * D * 2 + 2 * T * DH + T * ds * 9,
+            D * DH + 2 * T * DH + 4 * T * D * 2 + T * D * 8)
+        if (DH % ns == 0 and ds % 128 == 0
+                and est2 <= 15 * 1024 * 1024):
+            return _fwd_two_kernel(x, w1, b1, w2, b2, gamma, beta, eps,
+                                   interpret, ns)
         if not interpret:
             return _ref_forward(x, w1, b1, w2, b2, gamma, beta, eps)
     w1q, s1 = quantize_weight(w1)
@@ -164,98 +165,120 @@ def _fwd_impl(x, w1, b1, w2, b2, gamma, beta, eps, interpret,
       beta.astype(jnp.float32).reshape(1, D))
 
 
-def _kernel_streamed(x_ref, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref,
-                     b2_ref, g_ref, be_ref, out_ref, acc_ref, *,
-                     eps: float, nstripes: int):
-    """Weight-streamed variant for backbones whose int8 weights alone
-    exceed VMEM (ViT-H: 13 MB). Grid (B/BB, S): the x/out blocks stay
-    resident across the S stripe steps (their index maps ignore s — the
-    standard matmul-reduction pattern, no HBM revisits) while the weight
-    stripes stream; BB images per program amortize the weight traffic
-    (~13 MB per BB images at ViT-H)."""
-    s = pl.program_id(1)
-    xb = x_ref[...]  # (BB, T, D)
-    BB, T, D = xb.shape
-    x = xb.reshape(BB * T, D)
+def _kernel_fc1(x_ref, w1_ref, s1_ref, b1_ref, g_ref, be_ref,
+                aq_ref, sa_ref, *, eps: float, nstripes: int):
+    """Two-kernel split, first half: LN + per-token quant + int8 fc1
+    (hidden-striped) + tanh-gelu + per-token-PER-STRIPE requant. Emits the
+    int8 intermediate plus its (T, S) stripe scales; only w1 is resident."""
+    x = x_ref[0]
     xf = x.astype(jnp.float32)
     mu = xf.mean(axis=-1, keepdims=True)
     var = ((xf - mu) ** 2).mean(axis=-1, keepdims=True)
     h = (xf - mu) * jax.lax.rsqrt(var + eps) * g_ref[0] + be_ref[0]
     sx = jnp.maximum(jnp.abs(h).max(axis=-1, keepdims=True), 1e-8) / 127.0
     hq = jnp.round(h / sx).astype(jnp.int8)
-    acc = jax.lax.dot_general(  # (BB*T, DH/S) s32
-        hq, w1_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32,
-    )
-    a = acc.astype(jnp.float32) * (sx * s1_ref[0]) + b1_ref[0]
-    a = jax.nn.gelu(a.astype(jnp.bfloat16), approximate=True).astype(
-        jnp.float32)
-    sa = jnp.maximum(jnp.abs(a).max(axis=-1, keepdims=True), 1e-8) / 127.0
-    aq = jnp.round(a / sa).astype(jnp.int8)
-    part = jax.lax.dot_general(  # (BB*T, D) s32
-        aq, w2_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32,
-    ).astype(jnp.float32) * (sa * s2_ref[0])
-
-    @pl.when(s == 0)
-    def _():
-        acc_ref[...] = part
-
-    @pl.when(s > 0)
-    def _():
-        acc_ref[...] += part
-
-    @pl.when(s == nstripes - 1)
-    def _():
-        y = acc_ref[...] + b2_ref[0]
-        out_ref[...] = (xf + y).reshape(BB, T, D).astype(out_ref.dtype)
+    DH = w1_ref.shape[1]
+    ds = DH // nstripes
+    for s in range(nstripes):
+        sl = slice(s * ds, (s + 1) * ds)
+        acc = jax.lax.dot_general(
+            hq, w1_ref[:, sl], dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        a = acc.astype(jnp.float32) * (sx * s1_ref[0, sl]) + b1_ref[0, sl]
+        a = jax.nn.gelu(a.astype(jnp.bfloat16), approximate=True).astype(
+            jnp.float32)
+        sa = jnp.maximum(jnp.abs(a).max(axis=-1, keepdims=True),
+                         1e-8) / 127.0
+        aq_ref[0, :, sl] = jnp.round(a / sa).astype(jnp.int8)
+        sa_ref[0, :, s:s + 1] = sa
 
 
-def _fwd_streamed(x, w1, b1, w2, b2, gamma, beta, eps, interpret,
-                  nstripes: int = 8):
+def _kernel_fc2(aq_ref, sa_ref, x_ref, w2_ref, s2_ref, b2_ref, out_ref, *,
+                nstripes: int):
+    """Second half: int8 fc2 accumulated over the hidden stripes with
+    per-stripe dequant, + bias + residual; only w2 is resident."""
+    x = x_ref[0]
+    xf = x.astype(jnp.float32)
+    DH = w2_ref.shape[0]
+    ds = DH // nstripes
+    y = None
+    for s in range(nstripes):
+        sl = slice(s * ds, (s + 1) * ds)
+        acc = jax.lax.dot_general(
+            aq_ref[0][:, sl], w2_ref[sl, :],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        part = acc.astype(jnp.float32) * (
+            sa_ref[0][:, s:s + 1] * s2_ref[0])
+        y = part if y is None else y + part
+    out_ref[0] = (xf + y + b2_ref[0]).astype(out_ref.dtype)
+
+
+def _fwd_two_kernel(x, w1, b1, w2, b2, gamma, beta, eps, interpret,
+                    nstripes: int = 8):
     B, T, D = x.shape
     DH = w1.shape[1]
-    BB = 2 if B % 2 == 0 else 1
-    ds = DH // nstripes
+    S = nstripes
     w1q, s1 = quantize_weight(w1)
     w2q, s2 = quantize_weight(w2)
-    const = lambda b, s: (0, 0)
-    return pl.pallas_call(
-        functools.partial(_kernel_streamed, eps=eps, nstripes=nstripes),
-        grid=(B // BB, nstripes),
+    const = lambda b: (0, 0)
+    aq, sa = pl.pallas_call(
+        functools.partial(_kernel_fc1, eps=eps, nstripes=S),
+        grid=(B,),
         in_specs=[
-            pl.BlockSpec((BB, T, D), lambda b, s: (b, 0, 0),
+            pl.BlockSpec((1, T, D), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((D, ds), lambda b, s: (0, s),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, ds), lambda b, s: (0, s),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, ds), lambda b, s: (0, s),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((ds, D), lambda b, s: (s, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, D), const, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, D), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, DH), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, DH), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, DH), const, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, D), const, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, D), const, memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((BB, T, D), lambda b, s: (b, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, T, D), x.dtype),
-        scratch_shapes=[pltpu.VMEM((BB * T, D), jnp.float32)],
+        out_specs=[
+            pl.BlockSpec((1, T, DH), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, T, S), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[jax.ShapeDtypeStruct((B, T, DH), jnp.int8),
+                   jax.ShapeDtypeStruct((B, T, S), jnp.float32)],
         cost_estimate=pl.CostEstimate(
-            flops=4 * B * T * D * DH,
-            bytes_accessed=(2 * B * T * D * x.dtype.itemsize
-                            + (B // BB) * 2 * D * DH),
+            flops=2 * B * T * D * DH,
+            bytes_accessed=B * T * (D * 2 + DH) + D * DH,
             transcendentals=B * T * DH,
         ),
         compiler_params=None if interpret else pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary")),
+            dimension_semantics=("parallel",)),
         interpret=interpret,
-    )(x, w1q, s1, b1.astype(jnp.float32).reshape(1, DH), w2q, s2,
-      b2.astype(jnp.float32).reshape(1, D),
+    )(x, w1q, s1, b1.astype(jnp.float32).reshape(1, DH),
       gamma.astype(jnp.float32).reshape(1, D),
       beta.astype(jnp.float32).reshape(1, D))
+    return pl.pallas_call(
+        functools.partial(_kernel_fc2, nstripes=S),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, T, DH), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, T, S), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, T, D), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((DH, D), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D), const, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, T, D), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, T, D), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * T * D * DH,
+            bytes_accessed=B * T * (D * 4 + DH) + D * DH,
+            transcendentals=0,
+        ),
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
+        interpret=interpret,
+    )(aq, sa, x, w2q, s2, b2.astype(jnp.float32).reshape(1, D))
 
 
 def _ref_forward(x, w1, b1, w2, b2, gamma, beta, eps):

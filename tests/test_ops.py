@@ -237,10 +237,10 @@ def test_mlp_int8_fused_close_to_bf16(rng):
     rel2 = float(jnp.abs(out2 - ref).mean()) / denom
     assert rel2 < 0.05, rel2
 
-    # weight-streamed reduction-grid variant (the ViT-H path): x/out
-    # blocks resident, weight stripes streamed, f32 scratch accumulator
-    from ep_tpu.ops.mlp_int8_pallas import _fwd_streamed
-    out3 = _fwd_streamed(x, w1, b1, w2, b2, g, be, 1e-6, True, 2)
+    # two-kernel split (the ViT-H path): fc1/fc2 kernels with their own
+    # resident weight, int8 intermediate + per-stripe scales through HBM
+    from ep_tpu.ops.mlp_int8_pallas import _fwd_two_kernel
+    out3 = _fwd_two_kernel(x, w1, b1, w2, b2, g, be, 1e-6, True, 2)
     rel3 = float(jnp.abs(out3 - ref).mean()) / denom
     assert rel3 < 0.05, rel3
 
