@@ -96,8 +96,8 @@ def _fwd_impl(x, w1, b1, w2, b2, gamma, beta, eps, interpret,
     # resident int8 weights + double-buffered x/out blocks + s32/f32
     # (T, DH/stripes) transients + f32 accumulator. Striping the hidden
     # dim (128-aligned slices) shrinks the transients without streaming
-    # weights; ViT-L fits at stripes=4. ViT-H's 13 MB of weights alone
-    # overflow the scoped VMEM -> bf16 fallback.
+    # weights; ViT-L fits at stripes=8. ViT-H's 13 MB of weights alone
+    # overflow the scoped VMEM -> the two-kernel split below.
     stripes = 1
     def est(s):
         return (2 * D * DH + 4 * T * D * 2 + (T * (DH // s) * 4 * 2)
