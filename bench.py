@@ -38,7 +38,7 @@ def _log(msg):
 def main():
     from ep_tpu.configs import TrainConfig
     from ep_tpu.models.assembly import ProbeModel, build_backbone_config
-    from ep_tpu.parallel.mesh import make_mesh, shard_batch
+    from ep_tpu.parallel.mesh import make_mesh, set_current_mesh, shard_batch
     from ep_tpu.train.lars import build_optimizer
     from ep_tpu.train.schedule import make_lr_fn
     from ep_tpu.train.state import create_train_state
@@ -62,6 +62,7 @@ def main():
     backbone_cfg = build_backbone_config(cfg)
     model = ProbeModel(backbone_cfg, cfg)
     mesh = make_mesh()
+    set_current_mesh(mesh)
 
     rng = np.random.default_rng(0)
     images = rng.normal(size=(cfg.batch_size, 224, 224, 3)).astype(np.float32)

@@ -22,7 +22,7 @@ from ep_tpu.data.loader import DataLoader
 from ep_tpu.data.transforms import build_transforms_v2
 from ep_tpu.models.assembly import build_backbone_config
 from ep_tpu.models.vit import VisionTransformer
-from ep_tpu.parallel.mesh import make_mesh, shard_batch
+from ep_tpu.parallel.mesh import make_mesh, set_current_mesh, shard_batch
 from ep_tpu.utils.logging import maybe_setup_wandb
 
 
@@ -113,6 +113,7 @@ def main(args):
         num_workers=args.num_workers, seed=args.seed,
     )
     mesh = make_mesh()
+    set_current_mesh(mesh)
     backbone_cfg = build_backbone_config(cfg)
     model = VisionTransformer(backbone_cfg)
     dummy = jnp.zeros((2, cfg.image_size, cfg.image_size, 3), jnp.float32)

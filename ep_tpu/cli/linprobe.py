@@ -21,7 +21,8 @@ from ep_tpu.data.datasets import build_datasets
 from ep_tpu.data.loader import build_loaders
 from ep_tpu.data.transforms import build_transforms
 from ep_tpu.models.assembly import build_backbone_config, ProbeModel
-from ep_tpu.parallel.mesh import (init_distributed, make_mesh, is_main_process)
+from ep_tpu.parallel.mesh import (init_distributed, make_mesh,
+                                  is_main_process, set_current_mesh)
 from ep_tpu.runtime.checkpoint import (find_auto_resume, load_model, save_model)
 from ep_tpu.train.engine import (evaluate, extract_features, knn_classifier,
                                  train_one_epoch)
@@ -57,6 +58,7 @@ def main(cfg: TrainConfig) -> dict:
     np.random.seed(cfg.seed + jax.process_index())
 
     mesh = make_mesh(cfg.mesh_data, cfg.mesh_model)
+    set_current_mesh(mesh)  # opt kernel dispatch (attn_impl=auto) onto it
     data_axis = mesh.shape["data"]
     if cfg.batch_size % data_axis != 0:
         raise ValueError(
@@ -102,9 +104,12 @@ def main(cfg: TrainConfig) -> dict:
         # boundary (optax.MultiSteps emits zero updates in between)
         import optax
         tx = optax.MultiSteps(tx, every_k_schedule=cfg.accum_iter)
-    if cfg.int8_mlp and cfg.attn_impl == "xla":
-        print("| WARNING: --int8_mlp takes effect on the Pallas block path "
-              "only; --attn_impl xla leaves the MLP in bf16")
+    if cfg.int8_mlp:
+        from ep_tpu.models.vit import int8_mlp_inactive_reason
+        reason = int8_mlp_inactive_reason(backbone_cfg)
+        if reason is not None:
+            print(f"| WARNING: --int8_mlp is a NO-OP for this run — {reason}"
+                  "; the MLP stays bf16")
     state = create_train_state(variables, tx, cfg.finetuning)
     if not cfg.finetuning and cfg.amp == "bfloat16":
         # probing never updates the backbone: keep it in the compute dtype

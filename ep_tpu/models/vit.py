@@ -205,6 +205,34 @@ def _pallas_attn_enabled(c) -> bool:
     return mesh is not None and mesh.shape[MODEL_AXIS] == 1
 
 
+def int8_mlp_inactive_reason(c) -> Optional[str]:
+    """Why a requested --int8_mlp would silently stay bf16, else None.
+
+    Mirrors the static half of Block.__call__'s supercell gate (the int8
+    MLP kernel only runs on the Pallas block path). Runtime-only conditions
+    (attention capture, is_initializing) are not config properties and are
+    excluded — they never hold during normal training. CLIs call this so
+    users don't benchmark bf16 believing int8 is engaged.
+    """
+    if not c.int8_mlp:
+        return None
+    from ep_tpu.ops import kernel_mode
+    if c.mlp_type != "gelu":
+        return f"mlp_type={c.mlp_type!r} (SwiGLU/QuickGELU MLPs stay bf16)"
+    if c.rel_pos_bias != "none":
+        return "rel-pos-bias backbones take the XLA attention path"
+    if c.init_values is not None:
+        return "LayerScale backbones take the XLA attention path"
+    if not (c.qkv_bias and c.qkv_bias_mode == "full"):
+        return "qkv_bias mode is not 'full' (supercell needs fused qkv bias)"
+    if not kernel_mode()[0]:
+        return "no TPU backend (and EP_TPU_PALLAS_INTERPRET unset)"
+    if not _pallas_attn_enabled(c):
+        return ("attn_impl resolves to XLA (attn_impl='xla', or 'auto' on a "
+                "tensor-parallel mesh)")
+    return None
+
+
 class Attention(nn.Module):
     cfg: ViTConfig
 

@@ -13,9 +13,15 @@ import jax
 
 
 def kernel_mode() -> tuple[bool, bool]:
-    """(kernels_enabled, interpret) for the current backend."""
-    if jax.default_backend() == "tpu":
-        return True, False
+    """(kernels_enabled, interpret) for the current backend.
+
+    EP_TPU_PALLAS_INTERPRET=1 forces interpret-mode kernels on every
+    backend — including TPU, where it is the only way to debug a kernel
+    without a Mosaic compile. Note the env var is consulted at TRACE time:
+    flipping it after a step is jitted has no effect until a retrace.
+    """
     if os.environ.get("EP_TPU_PALLAS_INTERPRET"):
         return True, True
+    if jax.default_backend() == "tpu":
+        return True, False
     return False, False

@@ -71,7 +71,15 @@ def init_distributed(cfg=None) -> None:
 
 
 def make_mesh(data: int = -1, model: int = 1, devices=None) -> Mesh:
-    """Build a (data, model) mesh over the available devices."""
+    """Build a (data, model) mesh over the available devices.
+
+    Pure constructor — it does NOT touch the current-mesh registry that
+    gates kernel dispatch. A driver that wants attn_impl=auto / the
+    shard_map kernel bridge to see its mesh must opt in explicitly with
+    ``set_current_mesh(mesh)`` (or the ``use_mesh`` context manager), so a
+    mesh built for an unrelated purpose can never silently change how a
+    later-traced model dispatches.
+    """
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
     if data == -1:
@@ -79,9 +87,7 @@ def make_mesh(data: int = -1, model: int = 1, devices=None) -> Mesh:
         data = n // model
     assert data * model == n, f"mesh {data}x{model} != {n} devices"
     dev_array = np.asarray(devices).reshape(data, model)
-    mesh = Mesh(dev_array, (DATA_AXIS, MODEL_AXIS))
-    set_current_mesh(mesh)
-    return mesh
+    return Mesh(dev_array, (DATA_AXIS, MODEL_AXIS))
 
 
 # --- current-mesh registry + shard_map bridge for opaque kernels ---------
@@ -137,6 +143,15 @@ def data_parallel_call(fn, args, batched, mesh: Optional[Mesh] = None):
     if (mesh is None or mesh.shape[DATA_AXIS] <= 1
             or mesh.shape[MODEL_AXIS] > 1):
         return fn(*args)
+    n_data = mesh.shape[DATA_AXIS]
+    for a, b in zip(args, batched):
+        if b and hasattr(a, "shape") and a.shape and a.shape[0] % n_data:
+            raise ValueError(
+                f"data_parallel_call: batch dim {a.shape[0]} is not "
+                f"divisible by the registered mesh's data axis ({n_data}). "
+                f"The current-mesh registry ({mesh}) likely holds a stale "
+                f"mesh — set_current_mesh(...) the mesh this computation "
+                f"actually runs on (or None).")
     in_specs = tuple(P(DATA_AXIS) if b else P() for b in batched)
     return jax.shard_map(fn, mesh=mesh, in_specs=in_specs,
                          out_specs=P(DATA_AXIS), check_vma=False)(*args)

@@ -15,6 +15,7 @@ from __future__ import annotations
 import glob
 import json
 import os
+import re
 from pathlib import Path
 from typing import Any, Dict, Optional
 
@@ -129,8 +130,20 @@ def _merge_lenient(template, loaded):
 
 
 def find_auto_resume(output_dir: str) -> Optional[str]:
-    """Newest checkpoint* file by name (main_linprobe.py:764-773)."""
+    """Newest checkpoint* file (main_linprobe.py:764-773).
+
+    Sorted by natural (numeric-aware) name order so checkpoint-9 < \
+checkpoint-10 even though no current CLI path writes numbered names;
+    mtime breaks ties.
+    """
     if not output_dir or not os.path.isdir(output_dir):
         return None
-    ckpts = sorted(glob.glob(os.path.join(output_dir, "checkpoint*")))
+
+    def key(path):
+        name = os.path.basename(path)
+        natural = tuple(int(tok) if tok.isdigit() else tok
+                        for tok in re.split(r"(\d+)", name))
+        return (natural, os.path.getmtime(path))
+
+    ckpts = sorted(glob.glob(os.path.join(output_dir, "checkpoint*")), key=key)
     return ckpts[-1] if ckpts else None

@@ -243,14 +243,28 @@ def maybe_setup_wandb(logdir: str, cfg=None, job_type: str = "linprobe_v1",
         print("wandb not installed; skipping")
         return None
     origin = Path(logdir).name
-    name = origin if not run_name_suffix else f"{origin}_{run_name_suffix}"
+    # run-name dedup via the wandb API (util/misc.py:386-395): if a run
+    # already carries this display name, suffix with the group's run count;
+    # an API failure (offline mode) degrades to the plain name.
+    name = origin
+    try:
+        api = wandb.Api()
+        path = f"{entity}/{project}"
+        name_runs = list(api.runs(path, filters={"display_name": origin}))
+        if name_runs:
+            group_runs = list(api.runs(path, filters={"group": origin}))
+            name = f"{origin}_{len(group_runs)}"
+    except Exception as err:
+        print(f"wandb name-dedup skipped: {err}")
+    if run_name_suffix:
+        name = f"{name}_{run_name_suffix}"
     run = wandb.init(
         entity=entity, project=project,
         config=(vars(cfg) if hasattr(cfg, "__dict__") else
                 (cfg.__dataclass_fields__ and
                  {f: getattr(cfg, f) for f in cfg.__dataclass_fields__}) if cfg else None),
         name=name, dir=logdir, group=origin, job_type=job_type,
-        sync_tensorboard=True,
+        resume="never", sync_tensorboard=True,
     )
     print("WANDB run", run.id, name, origin)
     return run

@@ -39,8 +39,21 @@ def test_find_auto_resume_newest_by_name(tmp_path):
     (tmp_path / "checkpoint-_3.msgpack").write_bytes(b"x")
     (tmp_path / "checkpoint-_12.msgpack").write_bytes(b"x")
     (tmp_path / "other.txt").write_bytes(b"x")
-    # newest by NAME sort (reference glob semantics): '_3' > '_12'
+    # numeric-aware sort: epoch 12 beats epoch 3 (the reference's lexical
+    # glob would pick '_3'; that ordering was a latent bug — VERDICT r2)
     found = find_auto_resume(str(tmp_path))
-    assert found.endswith("checkpoint-_3.msgpack")
+    assert found.endswith("checkpoint-_12.msgpack")
     assert find_auto_resume("") is None
     assert find_auto_resume(str(tmp_path / "missing")) is None
+
+
+def test_find_auto_resume_name_order_beats_mtime(tmp_path):
+    # name order is primary (mtime only breaks exact-name ties): an older
+    # mtime on the name-wise-newest checkpoint must not demote it
+    import os
+    a = tmp_path / "checkpoint-best.msgpack"
+    b = tmp_path / "checkpoint-last.msgpack"
+    a.write_bytes(b"x")
+    b.write_bytes(b"x")
+    os.utime(a, (2_000_000_000, 2_000_000_000))
+    assert find_auto_resume(str(tmp_path)).endswith("checkpoint-last.msgpack")

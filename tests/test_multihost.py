@@ -24,7 +24,7 @@ import numpy as np
 from ep_tpu.configs import TrainConfig
 from ep_tpu.models.assembly import ProbeModel
 from ep_tpu.models.vit import ViTConfig
-from ep_tpu.parallel.mesh import make_mesh, shard_batch
+from ep_tpu.parallel.mesh import make_mesh, set_current_mesh, shard_batch
 from ep_tpu.train.lars import build_optimizer
 from ep_tpu.train.schedule import make_lr_fn
 from ep_tpu.train.state import create_train_state
@@ -32,6 +32,7 @@ from ep_tpu.train.steps import make_train_step
 
 assert jax.process_count() == 2, jax.process_count()
 mesh = make_mesh()
+set_current_mesh(mesh)
 assert mesh.devices.size == jax.device_count()
 
 cfg = TrainConfig(cls_features="gap", nb_classes=4, image_size=16,

@@ -152,8 +152,8 @@ import pytest as _pytest
 def test_attention_qkv_fused_head_group_path(rng, T):
     """Dh that doesn't divide the 128-lane tile (ViT-H's Dh=80) routes to
     the head-group-grid kernel; parity vs the mha path, fwd + grad.
-    T=129 (cls + aligned patch grid, like ViT-H's 257) additionally covers
-    the split-first-key lane-aligned softmax variant."""
+    T=129 covers a cls + lane-aligned patch-grid sequence length (like
+    ViT-H's 257) on the head-group path."""
     import jax
     import jax.numpy as jnp
     import numpy as np

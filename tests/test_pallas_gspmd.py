@@ -26,6 +26,7 @@ def mesh8():
     if len(jax.devices()) < 8:
         pytest.skip("needs 8 virtual devices")
     m = M.make_mesh(8, 1)
+    M.set_current_mesh(m)
     yield m
     M.set_current_mesh(prev)
 

@@ -43,9 +43,10 @@ def main():
     from ep_tpu.data.loader import DataLoader
     from ep_tpu.data.transforms import build_transforms
     from ep_tpu.models.assembly import ProbeModel, build_backbone_config
-    from ep_tpu.parallel.mesh import make_mesh, shard_batch
+    from ep_tpu.parallel.mesh import make_mesh, set_current_mesh, shard_batch
 
     mesh = make_mesh()
+    set_current_mesh(mesh)
     backbone_cfg = build_backbone_config(cfg)
     model = ProbeModel(backbone_cfg, cfg)
     try:
