@@ -28,59 +28,7 @@ B, N, D = 3, 16, 64  # N=16 → 4x4 grid for the spatial heads
 TOL = dict(rtol=1e-5, atol=1e-5)
 
 
-def _install_stubs():
-    if "timm" in sys.modules:
-        return
-    timm = types.ModuleType("timm")
-    tm = types.ModuleType("timm.models")
-    tl = types.ModuleType("timm.models.layers")
-    tvt = types.ModuleType("timm.models.vision_transformer")
-    tl.drop_path = lambda x, drop_prob=0.0, training=False: x
-
-    class DropPath(torch.nn.Module):
-        def __init__(self, p=None):
-            super().__init__()
-
-        def forward(self, x):
-            return x
-
-    def trunc_normal_(t, mean=0.0, std=1.0, a=-2.0, b=2.0):
-        with torch.no_grad():
-            t.normal_(mean, std)
-        return t
-
-    tl.DropPath = DropPath
-    tl.trunc_normal_ = trunc_normal_
-    tl.to_2tuple = lambda v: v if isinstance(v, tuple) else (v, v)
-
-    class _VT(torch.nn.Module):
-        pass
-
-    class _Mlp(torch.nn.Module):
-        pass
-
-    tvt.VisionTransformer = _VT
-    tvt.Mlp = _Mlp
-    timm.models = tm
-    timm.layers = tl
-    tm.layers = tl
-    tm.vision_transformer = tvt
-    tv = types.ModuleType("torchvision")
-    tvo = types.ModuleType("torchvision.ops")
-    tvm = types.ModuleType("torchvision.ops.misc")
-
-    class FrozenBatchNorm2d(torch.nn.Module):
-        pass
-
-    tvm.FrozenBatchNorm2d = FrozenBatchNorm2d
-    tvo.misc = tvm
-    tv.ops = tvo
-    sys.modules.update({
-        "timm": timm, "timm.models": tm, "timm.models.layers": tl,
-        "timm.models.vision_transformer": tvt, "timm.layers": tl,
-        "torchvision": tv, "torchvision.ops": tvo,
-        "torchvision.ops.misc": tvm,
-    })
+from ref_stubs import install_stubs as _install_stubs  # noqa: E402
 
 
 @pytest.fixture(scope="module")
