@@ -7,12 +7,37 @@ and prints ONE JSON line:
 
     {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N}
 
-``vs_baseline`` compares against REF_BASELINE_IMG_S — an estimate of the
-PyTorch reference's same-protocol throughput on its published 4-GPU A100
-setup (per GPU). The reference has no published throughput numbers
-(SURVEY.md §6); the estimate assumes fp16 cuDNN ViT-B/16 at ~1300 img/s/GPU
-degraded ~25% by the reference's always-on attention-map materialization
-(models_vit.py:243-269). Our BASELINE.json target is ≥5× at equal top-1.
+``vs_baseline`` compares against a DERIVED estimate of the PyTorch
+reference's same-protocol per-GPU throughput (the reference publishes no
+throughput, SURVEY.md §6; its README examples run 4-GPU torchrun on
+unstated hardware — assume A100-SXM, the 2024-era default):
+
+    ref img/s  =  A100 peak (312 TF/s bf16) x MFU  /  step FLOPs
+
+* step FLOPs: frozen-backbone forward (the probing protocol never
+  backprops the backbone; the grafted head's fwd+bwd is <1%). Computed
+  analytically below (``vit_flops``): 35.1 GF/img for ViT-B/16 @224
+  (= 2 x the standard 17.6 GMACs).
+* MFU range for the reference's engine — eager (uncompiled) torch,
+  attention probabilities fully materialized every block because the
+  always-on stats capture needs them (models_vit.py:243-269 /
+  models_simmim.py:320-325), which precludes flash/SDPA fusion:
+    - high 22.5% (well-tuned channels-last AMP eager ViT inference;
+      timm's published A100 benchmarks put vit_base_patch16_224 at
+      ~2000-2600 img/s ==> 22-29% MFU *with* fused attention — the
+      materialized-attention path sits below that),
+    - central 16%,
+    - low 11% (adds DDP + per-step cuda.synchronize,
+      engine_finetune.py:79-80, and the stats' extra HBM traffic:
+      ~6 extra (B,H,T,T) passes/block ~ 5-10% of step time at bs256;
+      measured on torch CPU the stats' pure FLOPs cost is within noise).
+  Full derivation + sensitivity: PERFORMANCE.md "Reference baseline".
+
+``vs_baseline`` uses the central estimate; ``vs_baseline_conservative`` /
+``vs_baseline_optimistic`` bound it with the high/low baseline. The JSON
+also reports achieved TF/s and MFU vs both the v5e peak (197 TF/s bf16)
+and this chip-through-relay's measured clean-matmul ceiling (194 TF/s,
+PERFORMANCE.md) so the number is self-justifying.
 """
 import contextlib
 import json
@@ -22,7 +47,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-REF_BASELINE_IMG_S = 1000.0
+# Derived reference throughput (img/s per A100), see module docstring.
+A100_PEAK_TFLOPS = 312.0
+V5E_PEAK_TFLOPS = 197.0
+MEASURED_CEILING_TFLOPS = 194.0  # this chip through the relay, clean matmuls
+REF_MFU = {"low": 0.11, "central": 0.16, "high": 0.225}
 
 import sys
 
@@ -33,6 +62,28 @@ MEASURE_STEPS = 10
 
 def _log(msg):
     print(f"[bench] {msg}", file=sys.stderr, flush=True)
+
+
+def vit_flops(backbone_cfg) -> float:
+    """Forward FLOPs per image (2 x MACs) of the plain-ViT probing path:
+    patch embed + depth x (qkv, scores+apply, proj, MLP). ViT-B/16 @224
+    evaluates to 35.1e9 (the standard 17.6 GMACs x 2)."""
+    c = backbone_cfg
+    T = c.num_prefix_tokens + c.num_patches
+    D = c.embed_dim
+    hidden = int(D * c.mlp_ratio)
+    per_block = (2 * T * D * 3 * D        # qkv
+                 + 4 * T * T * D          # q@k^T + attn@v
+                 + 2 * T * D * D          # proj
+                 + 4 * T * D * hidden)    # fc1 + fc2
+    patch = 2 * c.num_patches * D * (c.patch_size ** 2 * c.in_chans)
+    return float(patch + c.depth * per_block)
+
+
+def ref_baseline_img_s(flops_per_img: float) -> dict:
+    """Derived reference (eager torch on A100) throughput range."""
+    return {k: A100_PEAK_TFLOPS * 1e12 * mfu / flops_per_img
+            for k, mfu in REF_MFU.items()}
 
 
 def main():
@@ -136,12 +187,26 @@ def main():
 
     img_s_chip = cfg.batch_size / step_t / n_dev
     prec = "bf16+int8mlp" if cfg.int8_mlp else "bf16"
+    flops = vit_flops(backbone_cfg)
+    ref = ref_baseline_img_s(flops)
+    achieved_tflops = img_s_chip * flops / 1e12
     result = {
         "metric": f"probe-train images/sec/chip (frozen {cfg.model} + EP32 "
                   f"head, {prec}, bs{BATCH}, pipelined)",
         "value": round(img_s_chip, 1),
         "unit": "images/sec/chip",
-        "vs_baseline": round(img_s_chip / REF_BASELINE_IMG_S, 3),
+        # vs the DERIVED central baseline; conservative/optimistic bound it
+        # with the high/low MFU assumption (see module docstring +
+        # PERFORMANCE.md "Reference baseline")
+        "vs_baseline": round(img_s_chip / ref["central"], 3),
+        "vs_baseline_conservative": round(img_s_chip / ref["high"], 3),
+        "vs_baseline_optimistic": round(img_s_chip / ref["low"], 3),
+        "ref_baseline_img_s": {k: round(v, 0) for k, v in ref.items()},
+        "fwd_flops_per_img_g": round(flops / 1e9, 2),
+        "achieved_tflops": round(achieved_tflops, 1),
+        "mfu_vs_v5e_peak": round(achieved_tflops / V5E_PEAK_TFLOPS, 3),
+        "mfu_vs_measured_ceiling": round(
+            achieved_tflops / MEASURED_CEILING_TFLOPS, 3),
         "per_step_sync_img_s": round(cfg.batch_size / sync_t / n_dev, 1),
         "cached_mode_img_s": _bench_cached_mode(cfg, mesh),
     }
