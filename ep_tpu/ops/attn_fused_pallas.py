@@ -45,12 +45,17 @@ def _kernel(qkv_ref, out_ref, *, H: int, Dh: int, scale: float,
         ) * coef  # (T, T) f32
         logits = logits - logits.max(axis=-1, keepdims=True)
         probs = jnp.exp(logits)
-        probs = probs / probs.sum(axis=-1, keepdims=True)
-        out_ref[0, :, sl] = jax.lax.dot_general(
+        # normalize AFTER PV: dividing the (T, Dh) product by the row sums
+        # replaces a full VPU pass over the lane-PADDED (T, T->+pad) probs
+        # tensor with one over the small output (r3: part of closing the
+        # ViT-H softmax gap; exact same math, fp-reassociation only).
+        denom = probs.sum(axis=-1, keepdims=True)  # (T, 1) f32
+        pv = jax.lax.dot_general(
             probs.astype(v.dtype), v[:, sl],
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ).astype(out_ref.dtype)
+        )
+        out_ref[0, :, sl] = (pv / denom).astype(out_ref.dtype)
 
 
 def _kernel_head_group(q_ref, k_ref, v_ref, out_ref, *, scale: float,
@@ -80,13 +85,16 @@ def _kernel_head_group(q_ref, k_ref, v_ref, out_ref, *, scale: float,
     ) * coef
     logits = logits - logits.max(axis=-1, keepdims=True)
     probs = jnp.exp(logits)
-    probs = probs / probs.sum(axis=-1, keepdims=True)
+    # normalize AFTER PV (see _kernel): at ViT-H the probs tensor is
+    # (G, 257, 257) lane-padded to 384 — dividing the (G, 257, 80) PV
+    # output instead drops a full padded-tensor VPU pass.
+    denom = probs.sum(axis=-1, keepdims=True)  # (G, T, 1) f32
     pv = jax.lax.dot_general(  # (G, T, Dh)
         probs.astype(v.dtype), v,
         dimension_numbers=(((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     )
-    out_ref[0] = pv.transpose(1, 0, 2).astype(out_ref.dtype)
+    out_ref[0] = (pv / denom).transpose(1, 0, 2).astype(out_ref.dtype)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4, 5))
@@ -119,6 +127,11 @@ def _fwd_impl(qkv, num_heads, scale, temperature, interpret, block_b):
                  + 8 * T * t_pad * 4)
         if est_g > 13 * 1024 * 1024 and not interpret:
             return _fwd_xla(qkv, num_heads, scale, temperature)
+        import os
+        if os.environ.get("EP_TPU_ATTN_VARIANT") == "rowtile":
+            # experimental A/B knob (trace-time): query-row-tiled grid
+            return _fwd_head_group_rowtile(qkv, num_heads, scale,
+                                           temperature, interpret)
         return _fwd_head_group(qkv, num_heads, scale, temperature,
                                interpret)
     # single-program kernel (Dh | 128): stages full qkv rows — wins at
@@ -181,6 +194,72 @@ def _fwd_head_group(qkv, num_heads, scale, temperature, interpret,
         ),
         compiler_params=None if interpret else pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")),
+        interpret=interpret,
+    )(qkv4, qkv4, qkv4)
+    return out.reshape(B, T, D)
+
+
+def _kernel_head_group_rowtile(q_ref, k_ref, v_ref, out_ref, *, scale: float,
+                               temperature: float):
+    """Row-tiled head-group variant: each program handles a ROWS-query tile
+    against the full key stripe (k/v blocks are constant in the tile grid
+    dim, so Mosaic keeps them resident). The r2 verdict asked for this
+    experiment; note the softmax REDUCE runs over the lane (key) dim, so
+    query-row tiling cannot remove the 257->384 lane padding — it trades
+    sublane padding (257->264 rows untiled) for tile-row padding
+    (ceil(257/ROWS)*ROWS rows) plus per-tile k/v staging."""
+    coef = scale / temperature
+    q = q_ref[0].transpose(1, 0, 2)  # (G, rows, Dh)
+    k = k_ref[0].transpose(1, 0, 2)  # (G, T, Dh)
+    v = v_ref[0].transpose(1, 0, 2)
+    logits = jax.lax.dot_general(  # (G, rows, T) f32
+        q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ) * coef
+    logits = logits - logits.max(axis=-1, keepdims=True)
+    probs = jnp.exp(logits)
+    denom = probs.sum(axis=-1, keepdims=True)
+    pv = jax.lax.dot_general(  # (G, rows, Dh)
+        probs.astype(v.dtype), v,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    out_ref[0] = (pv / denom).transpose(1, 0, 2).astype(out_ref.dtype)
+
+
+def _fwd_head_group_rowtile(qkv, num_heads, scale, temperature, interpret,
+                            group: int = 8, rows: int = 128):
+    B, T, D3 = qkv.shape
+    D = D3 // 3
+    H = num_heads
+    Dh = D // H
+    G = group
+    ng = H // G
+    nt = -(-T // rows)
+    qkv4 = qkv.reshape(B, T, 3 * H, Dh)
+    out = pl.pallas_call(
+        functools.partial(_kernel_head_group_rowtile, scale=scale,
+                          temperature=temperature),
+        grid=(B, ng, nt),
+        in_specs=[
+            pl.BlockSpec((1, rows, G, Dh), lambda b, g, t: (b, t, g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, T, G, Dh), lambda b, g, t: (b, 0, ng + g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, T, G, Dh), lambda b, g, t: (b, 0, 2 * ng + g, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, rows, G, Dh),
+                               lambda b, g, t: (b, t, g, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, T, H, Dh), qkv.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * H * T * T * Dh,
+            bytes_accessed=qkv.size * qkv.dtype.itemsize * 4 // 3,
+            transcendentals=B * H * T * T,
+        ),
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary", "arbitrary")),
         interpret=interpret,
     )(qkv4, qkv4, qkv4)
     return out.reshape(B, T, D)

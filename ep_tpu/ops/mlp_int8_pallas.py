@@ -87,48 +87,68 @@ def mlp_int8_fused(x, w1, b1, w2, b2, gamma, beta,
                      force_stripes)
 
 
+def plan(T: int, D: int, DH: int) -> tuple:
+    """VMEM-driven tier choice, pure so gates/tests can assert it.
+
+    Returns ("resident", stripes) — both int8 weights resident, hidden dim
+    optionally striped (ViT-B: 1 stripe; ViT-L: 8); ("two_kernel", ns) —
+    per-half resident weights with an int8 HBM hand-off (ViT-H); or
+    ("fallback",) — shapes the kernels can't take, bf16 XLA runs instead.
+    """
+    # resident int8 weights + double-buffered x/out blocks + s32/f32
+    # (T, DH/stripes) transients + f32 accumulator. Striping the hidden
+    # dim (128-aligned slices) shrinks the transients without streaming
+    # weights; ViT-L fits at stripes=8. ViT-H's 13 MB of weights alone
+    # overflow the scoped VMEM -> the two-kernel split.
+    stripes = 1
+
+    def est(s):
+        return (2 * D * DH + 4 * T * D * 2 + (T * (DH // s) * 4 * 2)
+                + T * (DH // s) + T * D * 4)
+
+    while est(stripes) > 12 * 1024 * 1024 and stripes < 8 \
+            and (DH // (2 * stripes)) % 128 == 0:
+        stripes *= 2
+    if est(stripes) <= 12 * 1024 * 1024:
+        return ("resident", stripes)
+    # BOTH weights resident don't fit. Two-kernel split: the fc1 kernel
+    # and the fc2 kernel each keep their OWN ~6.5 MB weight resident,
+    # handing off a per-token-per-stripe-quantized int8 intermediate
+    # through HBM (int8 halves that traffic vs a bf16 hand-off). Measured
+    # at ViT-H bench shapes: 7.2 vs 10.3 ms for the bf16 MLP half. (A
+    # single weight-streamed reduction-grid kernel was tried first and
+    # OOM'd real VMEM — its est missed the live-f32 LN/residual
+    # temporaries.)
+    ns = 8
+    ds = DH // ns
+    # per-kernel footprints; the 15 MB bound matches the measured
+    # compile at ViT-H (fc1 ≈ 14.2 MB with double-buffered aq out)
+    est2 = max(
+        D * DH + 4 * T * D * 2 + 2 * T * DH + T * ds * 9,
+        D * DH + 2 * T * DH + 4 * T * D * 2 + T * D * 8)
+    if DH % ns == 0 and ds % 128 == 0 and est2 <= 15 * 1024 * 1024:
+        return ("two_kernel", ns)
+    return ("fallback",)
+
+
 @functools.partial(jax.jit, static_argnames=("eps", "interpret",
                                              "force_stripes"))
 def _fwd_impl(x, w1, b1, w2, b2, gamma, beta, eps, interpret,
               force_stripes=0):
     B, T, D = x.shape
     DH = w1.shape[1]
-    # resident int8 weights + double-buffered x/out blocks + s32/f32
-    # (T, DH/stripes) transients + f32 accumulator. Striping the hidden
-    # dim (128-aligned slices) shrinks the transients without streaming
-    # weights; ViT-L fits at stripes=8. ViT-H's 13 MB of weights alone
-    # overflow the scoped VMEM -> the two-kernel split below.
-    stripes = 1
-    def est(s):
-        return (2 * D * DH + 4 * T * D * 2 + (T * (DH // s) * 4 * 2)
-                + T * (DH // s) + T * D * 4)
-    while est(stripes) > 12 * 1024 * 1024 and stripes < 8 \
-            and (DH // (2 * stripes)) % 128 == 0:
-        stripes *= 2
+    tier = plan(T, D, DH)
     if force_stripes:
-        stripes = force_stripes
-    elif est(stripes) > 12 * 1024 * 1024:
-        # BOTH weights resident don't fit (ViT-H: 13 MB int8). Two-kernel
-        # split: the fc1 kernel and the fc2 kernel each keep their OWN
-        # ~6.5 MB weight resident, handing off a per-token-per-stripe-
-        # quantized int8 intermediate through HBM (int8 halves that
-        # traffic vs a bf16 hand-off). Measured at ViT-H bench shapes:
-        # 7.2 vs 10.3 ms for the bf16 MLP half. (A single weight-streamed
-        # reduction-grid kernel was tried first and OOM'd real VMEM —
-        # its est missed the live-f32 LN/residual temporaries.)
-        ns = 8
-        ds = DH // ns
-        # per-kernel footprints; the 15 MB bound matches the measured
-        # compile at ViT-H (fc1 ≈ 14.2 MB with double-buffered aq out)
-        est2 = max(
-            D * DH + 4 * T * D * 2 + 2 * T * DH + T * ds * 9,
-            D * DH + 2 * T * DH + 4 * T * D * 2 + T * D * 8)
-        if (DH % ns == 0 and ds % 128 == 0
-                and est2 <= 15 * 1024 * 1024):
-            return _fwd_two_kernel(x, w1, b1, w2, b2, gamma, beta, eps,
-                                   interpret, ns)
+        tier = ("resident", force_stripes)
+    if tier[0] == "two_kernel":
+        return _fwd_two_kernel(x, w1, b1, w2, b2, gamma, beta, eps,
+                               interpret, tier[1])
+    if tier[0] == "fallback":
         if not interpret:
             return _ref_forward(x, w1, b1, w2, b2, gamma, beta, eps)
+        stripes = 1
+    else:
+        stripes = tier[1]
     w1q, s1 = quantize_weight(w1)
     w2q, s2 = quantize_weight(w2)
     const = lambda b: (0, 0)

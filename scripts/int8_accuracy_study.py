@@ -1,0 +1,288 @@
+#!/usr/bin/env python3
+"""Quantify the --int8_mlp accuracy impact (VERDICT r2: Weak #2).
+
+Two measurements on the real chip, printed as one JSON document:
+
+A) **Per-block feature-error growth.** A scan that taps every block output
+   runs the SAME weights down the bf16 supercell path and the int8 MLP
+   path inside one jit; reports mean relative error per depth. ViT-B
+   exercises the resident tier, ViT-H the two-kernel split.
+
+B) **Top-1 deltas on a tight-margin task.** Class prototypes with weak
+   signal (alpha) + 10%% train-label noise make a task the linearly-
+   separable fake dataset can't represent: the probe lands well below
+   100%%, so feature perturbations can actually move accuracy. Final-layer
+   features are extracted once per precision; the EP head trains on each
+   across >=5 seeds; we report per-seed best-val-top-1 deltas.
+
+Caveat (documented in PERFORMANCE.md): the backbone is randomly
+initialized — no trained IN-1K checkpoints exist in this environment.
+Random ViT features behave as a fixed random projection; quantization
+error propagation through LN/residual/GELU is structural, but absolute
+sensitivities on trained weights may differ.
+
+Usage: python scripts/int8_accuracy_study.py [--models vit_b,vit_h]
+       [--seeds 5]  (~20-40 min cold; remote compiles dominate)
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+MODELS = {
+    # (ViTConfig name-equivalent dims) img 224: T = N+1
+    "vit_b": dict(patch=16, D=768, depth=12, heads=12),
+    "vit_l": dict(patch=16, D=1024, depth=24, heads=16),
+    "vit_h": dict(patch=14, D=1280, depth=32, heads=16),
+}
+IMG = 224
+C = 20          # classes
+ALPHA = 0.25    # prototype signal strength (tight margins)
+NOISE_FRAC = 0.10
+N_TRAIN, N_VAL, BS = 2048, 1024, 256
+EPOCHS = 5
+
+
+def _log(m):
+    print(f"[int8-study] {m}", file=sys.stderr, flush=True)
+
+
+def _cfgs(name):
+    from ep_tpu.models.vit import ViTConfig
+    m = MODELS[name]
+    base = ViTConfig(img_size=IMG, patch_size=m["patch"], embed_dim=m["D"],
+                     depth=m["depth"], num_heads=m["heads"],
+                     dtype=jnp.bfloat16, attn_impl="pallas",
+                     scan_blocks=True)
+    return base, base.replace(int8_mlp=True)
+
+
+class _BlockTap(nn.Module):
+    """scan body that also COLLECTS each block's output."""
+
+    cfg: object
+
+    @nn.compact
+    def __call__(self, x, rel_bias, temperature):
+        from ep_tpu.models.vit import Block
+        y, _ = Block(self.cfg, name="block")(
+            x, temperature=temperature, rel_bias=rel_bias, capture=False)
+        return y, y
+
+
+class TapViT(nn.Module):
+    """Embedding + tapped scan; param names identical to the real backbone
+    (scan layout), so VisionTransformer-initialized params apply as-is."""
+
+    cfg: object
+
+    @nn.compact
+    def __call__(self, x):
+        c = self.cfg
+        B = x.shape[0]
+        D = c.embed_dim
+        x = nn.Conv(D, (c.patch_size, c.patch_size),
+                    strides=(c.patch_size, c.patch_size), padding="VALID",
+                    dtype=c.dtype, name="patch_embed")(x.astype(c.dtype))
+        x = x.reshape(B, -1, D)
+        cls = self.param("cls_token", nn.initializers.zeros, (1, 1, D),
+                         jnp.float32)
+        x = jnp.concatenate(
+            [jnp.broadcast_to(cls.astype(c.dtype), (B, 1, D)), x], axis=1)
+        pos = self.param("pos_embed", nn.initializers.normal(0.02),
+                         (1, 1 + c.num_patches, D), jnp.float32)
+        x = x + pos.astype(c.dtype)
+        Scan = nn.scan(_BlockTap, variable_axes={"params": 0},
+                       split_rngs={"params": True},
+                       in_axes=(nn.broadcast, nn.broadcast), length=c.depth)
+        _, ys = Scan(c, name="blocks")(x, None, 1.0)
+        return ys  # (depth, B, T, D)
+
+
+def _init_backbone(cfg):
+    from ep_tpu.models.vit import VisionTransformer
+    import contextlib
+    model = VisionTransformer(cfg)
+    try:
+        ctx = jax.default_device(jax.devices("cpu")[0])
+    except RuntimeError:
+        ctx = contextlib.nullcontext()
+    with ctx:
+        variables = model.init(
+            jax.random.key(0), jnp.zeros((2, IMG, IMG, 3), jnp.float32),
+            "pos")
+    return model, variables["params"]
+
+
+def depth_error_study(name, params, cfg_b, cfg_i, batch=16):
+    """Mean relative per-block feature error, one jit."""
+
+    @jax.jit
+    def study(p, imgs):
+        ys_b = TapViT(cfg_b).apply({"params": p}, imgs).astype(jnp.float32)
+        ys_i = TapViT(cfg_i).apply({"params": p}, imgs).astype(jnp.float32)
+        num = jnp.abs(ys_i - ys_b).mean(axis=(1, 2, 3))
+        den = jnp.abs(ys_b).mean(axis=(1, 2, 3)) + 1e-8
+        return num / den
+
+    rng = np.random.default_rng(0)
+    imgs = jnp.asarray(rng.normal(size=(batch, IMG, IMG, 3)).astype("f"))
+    t0 = time.time()
+    err = np.asarray(jax.device_get(study(params, imgs)))
+    _log(f"{name}: depth study done in {time.time() - t0:.0f}s; "
+         f"per-block rel err min={err.min():.4f} max={err.max():.4f} "
+         f"final={err[-1]:.4f}")
+    return [round(float(e), 5) for e in err]
+
+
+def _make_task(seed):
+    rng = np.random.default_rng(seed)
+    protos = rng.normal(size=(C, IMG, IMG, 3)).astype("f")
+    protos /= np.linalg.norm(protos.reshape(C, -1), axis=1).reshape(C, 1, 1, 1)
+    protos *= np.sqrt(protos[0].size)  # unit-variance prototypes
+
+    def gen(n, seed2):
+        r = np.random.default_rng(seed2)
+        labels = r.integers(0, C, size=(n,)).astype(np.int32)
+        x = (ALPHA * protos[labels]
+             + r.normal(size=(n, IMG, IMG, 3)).astype("f"))
+        return x.astype("f"), labels
+
+    xtr, ytr = gen(N_TRAIN, seed * 10 + 1)
+    xva, yva = gen(N_VAL, seed * 10 + 2)
+    flip = np.random.default_rng(seed * 10 + 3)
+    idx = flip.choice(N_TRAIN, int(NOISE_FRAC * N_TRAIN), replace=False)
+    ytr[idx] = flip.integers(0, C, size=len(idx)).astype(np.int32)
+    return (xtr, ytr), (xva, yva)
+
+
+def extract_features(model, params, imgs):
+    """Final-layer patch tokens ('pos'), chunked at BS."""
+
+    @jax.jit
+    def fwd(p, x):
+        feats, _, _ = model.apply({"params": p}, x, "pos")
+        return feats
+
+    out = []
+    for s in range(0, len(imgs), BS):
+        chunk = imgs[s:s + BS]
+        if len(chunk) < BS:  # pad to the compiled shape
+            chunk = np.concatenate(
+                [chunk, np.zeros((BS - len(chunk),) + chunk.shape[1:], "f")])
+        out.append(np.asarray(jax.device_get(
+            fwd(params, jnp.asarray(chunk)))))
+    return np.concatenate(out)[:len(imgs)]
+
+
+def head_accuracy(feats_tr, ytr, feats_va, yva, seed):
+    """Train the EP head on cached features; return best val top-1."""
+    from ep_tpu.configs import TrainConfig
+    from ep_tpu.parallel.mesh import make_mesh
+    from ep_tpu.poolings.registry import ProbeHead
+    from ep_tpu.train.feature_cache import make_head_steps
+    from ep_tpu.train.lars import build_optimizer
+    from ep_tpu.train.schedule import make_lr_fn
+    from ep_tpu.train.state import create_train_state
+
+    D = feats_tr.shape[-1]
+    N = feats_tr.shape[1]
+    cfg = TrainConfig(cls_features="ep", ep_queries=32, d_out=1,
+                      nb_classes=C, batch_size=BS, eff_batch_size=BS,
+                      epochs=EPOCHS, warmup_epochs=1, blr=0.1,
+                      pallas_pool=True)
+    head = ProbeHead(cfg, D, N, dtype=jnp.bfloat16)
+    variables = head.init(jax.random.key(seed),
+                          jnp.zeros((2, N, D), jnp.bfloat16), train=True)
+    tx = build_optimizer("lars", 0.0)
+    state = create_train_state(
+        {"params": {"head": variables["params"]},
+         "batch_stats": {"head": variables.get("batch_stats", {})}},
+        tx, finetuning=False)
+    mesh = make_mesh(1, 1, devices=jax.devices()[:1])
+    steps_per_epoch = N_TRAIN // BS
+    train_step, eval_step = make_head_steps(
+        head, mesh, tx, make_lr_fn(cfg, steps_per_epoch))
+
+    order_rng = np.random.default_rng(seed)
+    best = 0.0
+    for epoch in range(EPOCHS):
+        order = order_rng.permutation(N_TRAIN)
+        for s in range(0, N_TRAIN - BS + 1, BS):
+            sel = order[s:s + BS]
+            state, _ = train_step(state, jnp.asarray(feats_tr[sel]),
+                                  jnp.asarray(ytr[sel]))
+        correct = total = 0.0
+        for s in range(0, N_VAL, BS):
+            sums, _ = eval_step(state, jnp.asarray(feats_va[s:s + BS]),
+                                jnp.asarray(yva[s:s + BS]),
+                                jnp.ones((BS,), jnp.float32))
+            correct += float(sums["acc1_sum"])
+            total += float(sums["count"])
+        best = max(best, correct / total)
+    return best
+
+
+def run_model(name, seeds):
+    from ep_tpu.models.vit import VisionTransformer
+    cfg_b, cfg_i = _cfgs(name)
+    model_b, params = _init_backbone(cfg_b)
+    model_i = VisionTransformer(cfg_i)
+
+    result = {"per_block_rel_err": depth_error_study(name, params,
+                                                     cfg_b, cfg_i)}
+
+    (xtr, ytr), (xva, yva) = _make_task(0)
+    _log(f"{name}: extracting bf16 features ...")
+    ftr_b = extract_features(model_b, params, xtr)
+    fva_b = extract_features(model_b, params, xva)
+    _log(f"{name}: extracting int8 features ...")
+    ftr_i = extract_features(model_i, params, xtr)
+    fva_i = extract_features(model_i, params, xva)
+    feat_err = (np.abs(ftr_i.astype("f") - ftr_b.astype("f")).mean()
+                / (np.abs(ftr_b.astype("f")).mean() + 1e-8))
+    result["final_feature_rel_err"] = round(float(feat_err), 5)
+
+    accs_b, accs_i = [], []
+    for seed in range(seeds):
+        a_b = head_accuracy(ftr_b, ytr, fva_b, yva, seed)
+        a_i = head_accuracy(ftr_i, ytr, fva_i, yva, seed)
+        accs_b.append(round(a_b, 2))
+        accs_i.append(round(a_i, 2))
+        _log(f"{name} seed {seed}: bf16 {a_b:.2f}  int8 {a_i:.2f}  "
+             f"delta {a_i - a_b:+.2f}")
+    deltas = [round(i - b, 2) for b, i in zip(accs_b, accs_i)]
+    result.update(
+        bf16_top1=accs_b, int8_top1=accs_i, deltas=deltas,
+        mean_delta=round(float(np.mean(deltas)), 3),
+        worst_delta=round(float(np.min(deltas)), 2))
+    return result
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--models", default="vit_b,vit_h")
+    ap.add_argument("--seeds", type=int, default=5)
+    args = ap.parse_args()
+
+    out = {"task": f"{C}-class prototypes alpha={ALPHA} + "
+                   f"{int(NOISE_FRAC * 100)}% train label noise, "
+                   f"{N_TRAIN}/{N_VAL} imgs, EP32 head, {EPOCHS} epochs, "
+                   f"random-init backbone (no trained ckpts offline)"}
+    for name in args.models.split(","):
+        _log(f"=== {name} ===")
+        out[name] = run_model(name.strip(), args.seeds)
+    print(json.dumps(out, indent=1))
+
+
+if __name__ == "__main__":
+    main()
