@@ -211,13 +211,15 @@ def _make_data(n, batch, seed):
             for i in range(0, n, batch)]
 
 
-def test_trainer_engine_parity(refmod, tmp_path):
+@pytest.mark.parametrize("head_mode", ["ep", "gap"])
+def test_trainer_engine_parity(refmod, tmp_path, head_mode):
     """3 epochs of the reference's OWN loop — engine_finetune.train_one_epoch
     + evaluate, LARS (util/lars.py), per-iter LR (util/lr_sched.py), the
-    main_linprobe.py:486-493 EP graft and :557-562 freezing — against our
-    converter + ProbeModel + make_train_step/make_eval_step + train.engine.
-    Asserts the per-epoch train-loss trajectory, the val trajectory, and
-    prediction-level agreement."""
+    main_linprobe.py:486-493 EP graft (or the :551 plain-LP BN+Linear) and
+    :557-562 freezing — against our converter + ProbeModel +
+    make_train_step/make_eval_step + train.engine. Asserts the per-epoch
+    train-loss trajectory, the val trajectory, and prediction-level
+    agreement."""
     import argparse
 
     from ep_tpu.configs import TrainConfig
@@ -237,10 +239,18 @@ def test_trainer_engine_parity(refmod, tmp_path):
 
     # ---------------- reference side (torch CPU, amp off) -----------------
     ref_vit = _build_ref_vit(refmod, seed=3)
-    ep = refmod.ep.EfficientProbing(dim=D, num_queries=4, d_out=1)
-    new_classifier = torch.nn.Linear(D, C, bias=True)
-    ref_vit.head = torch.nn.Sequential(
-        ep, torch.nn.BatchNorm1d(D, affine=False, eps=1e-6), new_classifier)
+    # module creation order fixed (EP before Linear) so torch's global-RNG
+    # draws — and therefore the head init — match across parametrizations
+    if head_mode == "ep":
+        ep = refmod.ep.EfficientProbing(dim=D, num_queries=4, d_out=1)
+        new_classifier = torch.nn.Linear(D, C, bias=True)
+        ref_vit.head = torch.nn.Sequential(
+            ep, torch.nn.BatchNorm1d(D, affine=False, eps=1e-6),
+            new_classifier)
+    else:  # plain LP on [CLS] (main_linprobe.py:551)
+        new_classifier = torch.nn.Linear(D, C, bias=True)
+        ref_vit.head = torch.nn.Sequential(
+            torch.nn.BatchNorm1d(D, affine=False, eps=1e-6), new_classifier)
     for _, p in ref_vit.named_parameters():
         p.requires_grad = False
     for _, p in ref_vit.head.named_parameters():
@@ -251,7 +261,7 @@ def test_trainer_engine_parity(refmod, tmp_path):
     loss_scaler = refmod.misc.NativeScalerWithGradNormCount()
     criterion = torch.nn.CrossEntropyLoss()
     args = argparse.Namespace(
-        accum_iter=1, amp="none", cls_features="ep", return_block=None,
+        accum_iter=1, amp="none", cls_features=head_mode, return_block=None,
         lr=LR, min_lr=MIN_LR, warmup_epochs=WARMUP, epochs=EPOCHS)
 
     def to_torch(batches):
@@ -262,10 +272,10 @@ def test_trainer_engine_parity(refmod, tmp_path):
 
     # ---------------- our side: identical weights via the converter -------
     cfg = TrainConfig(
-        model="vit_tiny_patch16", cls_features="ep", ep_queries=4, d_out=1,
-        nb_classes=C, image_size=IMG, batch_size=BATCH, epochs=EPOCHS,
-        warmup_epochs=WARMUP, lr=LR, min_lr=MIN_LR, amp="float32",
-        pallas_pool=False, eff_batch_size=BATCH)
+        model="vit_tiny_patch16", cls_features=head_mode, ep_queries=4,
+        d_out=1, nb_classes=C, image_size=IMG, batch_size=BATCH,
+        epochs=EPOCHS, warmup_epochs=WARMUP, lr=LR, min_lr=MIN_LR,
+        amp="float32", pallas_pool=False, eff_batch_size=BATCH)
     backbone_cfg = _our_cfg()
     model = ProbeModel(backbone_cfg, cfg)
     variables = model.init(
@@ -276,11 +286,20 @@ def test_trainer_engine_parity(refmod, tmp_path):
     params["backbone"] = _convert_backbone(
         ref_vit, backbone_cfg, params["backbone"], tmp_path)
     sd = ref_vit.head.state_dict()
-    params["head"] = {
-        "pool": {"cls_token": _n(sd["0.cls_token"]),
-                 "v": {"kernel": _n(sd["0.v.weight"]).T}},
-        "fc": {"kernel": _n(sd["2.weight"]).T, "bias": _n(sd["2.bias"])},
-    }
+    if head_mode == "ep":
+        params["head"] = {
+            "pool": {"cls_token": _n(sd["0.cls_token"]),
+                     "v": {"kernel": _n(sd["0.v.weight"]).T}},
+            "fc": {"kernel": _n(sd["2.weight"]).T, "bias": _n(sd["2.bias"])},
+        }
+        bn_idx = "1"
+    else:
+        params["head"] = {
+            "fc": {"kernel": _n(sd["1.weight"]).T, "bias": _n(sd["1.bias"])},
+        }
+        bn_idx = "0"
+    sd = {k.replace(f"{bn_idx}.running", "1.running"): v
+          for k, v in sd.items()}
     batch_stats = {"head": {"bn": {"mean": _n(sd["1.running_mean"]),
                                    "var": _n(sd["1.running_var"])}}}
     variables = {"params": params, "batch_stats": batch_stats}
@@ -301,7 +320,8 @@ def test_trainer_engine_parity(refmod, tmp_path):
             loss_scaler, max_norm=None, args=args)
         with torch.no_grad():
             ref_test = refmod.engine.evaluate(
-                t_val, ref_vit, device, cls_features="ep", return_block=None,
+                t_val, ref_vit, device, cls_features=head_mode,
+                return_block=None,
                 return_targets_and_preds=True)
 
         state, our_train = our_engine.train_one_epoch(
