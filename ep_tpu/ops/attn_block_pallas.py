@@ -59,15 +59,16 @@ def _kernel(x_ref, wqkv_ref, bqkv_ref, gamma_ref, beta_ref, wproj_ref,
         ) * coef
         logits = logits - logits.max(axis=-1, keepdims=True)
         probs = jnp.exp(logits)
-        # normalize AFTER PV: one fewer VPU pass over the lane-padded
-        # (T, T) probs (see attn_fused_pallas._kernel)
-        denom = probs.sum(axis=-1, keepdims=True)
+        # normalize BEFORE PV: the division fuses into the exp pass, so
+        # deferring it past PV only adds a pass over the PV output
+        # (measured regression; see attn_fused_pallas._kernel)
+        probs = probs / probs.sum(axis=-1, keepdims=True)
         pv = jax.lax.dot_general(
             probs.astype(v.dtype), v[:, sl],
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        heads.append((pv / denom).astype(x.dtype))
+        heads.append(pv.astype(x.dtype))
     attn_out = jnp.concatenate(heads, axis=-1)
 
     proj = jax.lax.dot_general(

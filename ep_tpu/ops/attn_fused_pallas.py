@@ -45,21 +45,22 @@ def _kernel(qkv_ref, out_ref, *, H: int, Dh: int, scale: float,
         ) * coef  # (T, T) f32
         logits = logits - logits.max(axis=-1, keepdims=True)
         probs = jnp.exp(logits)
-        # normalize AFTER PV: dividing the (T, Dh) product by the row sums
-        # replaces a full VPU pass over the lane-PADDED (T, T->+pad) probs
-        # tensor with one over the small output (r3: part of closing the
-        # ViT-H softmax gap; exact same math, fp-reassociation only).
-        denom = probs.sum(axis=-1, keepdims=True)  # (T, 1) f32
+        # normalize BEFORE PV: the division fuses into the exp's VPU pass
+        # (same shape, one traversal), so moving it after PV does not save
+        # the padded-probs pass — it only ADDS a pass over the PV output
+        # (measured on-chip: head-group 10.5 ms prenorm vs 13.8 ms
+        # norm-after at ViT-H shapes; PERFORMANCE.md r3).
+        probs = probs / probs.sum(axis=-1, keepdims=True)
         pv = jax.lax.dot_general(
             probs.astype(v.dtype), v[:, sl],
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        out_ref[0, :, sl] = (pv / denom).astype(out_ref.dtype)
+        out_ref[0, :, sl] = pv.astype(out_ref.dtype)
 
 
 def _kernel_head_group(q_ref, k_ref, v_ref, out_ref, *, scale: float,
-                       temperature: float):
+                       temperature: float, norm_after: bool = False):
     """One (image, head-group) per program over qkv viewed as
     (B, T, 3H, Dh). The BlockSpec index maps slice G-head stripes at the
     DMA level — no in-kernel lane slicing at awkward Dh offsets (the
@@ -85,16 +86,20 @@ def _kernel_head_group(q_ref, k_ref, v_ref, out_ref, *, scale: float,
     ) * coef
     logits = logits - logits.max(axis=-1, keepdims=True)
     probs = jnp.exp(logits)
-    # normalize AFTER PV (see _kernel): at ViT-H the probs tensor is
-    # (G, 257, 257) lane-padded to 384 — dividing the (G, 257, 80) PV
-    # output instead drops a full padded-tensor VPU pass.
+    # normalize BEFORE PV by default (see _kernel: div fuses into the exp
+    # pass; post-PV division measured 13.8 vs 10.5 ms at ViT-H shapes).
+    # norm_after=True kept as the A/B knob (scripts/attn_microbench).
     denom = probs.sum(axis=-1, keepdims=True)  # (G, T, 1) f32
+    if not norm_after:
+        probs = probs / denom
     pv = jax.lax.dot_general(  # (G, T, Dh)
         probs.astype(v.dtype), v,
         dimension_numbers=(((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     )
-    out_ref[0] = (pv / denom).transpose(1, 0, 2).astype(out_ref.dtype)
+    if norm_after:
+        pv = pv / denom
+    out_ref[0] = pv.transpose(1, 0, 2).astype(out_ref.dtype)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4, 5))
@@ -162,7 +167,7 @@ def _fwd_impl(qkv, num_heads, scale, temperature, interpret, block_b):
 
 
 def _fwd_head_group(qkv, num_heads, scale, temperature, interpret,
-                    group: int = 8):
+                    group: int = 8, norm_after: bool = False):
     B, T, D3 = qkv.shape
     D = D3 // 3
     H = num_heads
@@ -174,7 +179,7 @@ def _fwd_head_group(qkv, num_heads, scale, temperature, interpret,
     qkv4 = qkv.reshape(B, T, 3 * H, Dh)
     out = pl.pallas_call(
         functools.partial(_kernel_head_group, scale=scale,
-                          temperature=temperature),
+                          temperature=temperature, norm_after=norm_after),
         grid=(B, ng),
         in_specs=[
             pl.BlockSpec((1, T, G, Dh), lambda b, g: (b, 0, g, 0),
@@ -218,13 +223,13 @@ def _kernel_head_group_rowtile(q_ref, k_ref, v_ref, out_ref, *, scale: float,
     ) * coef
     logits = logits - logits.max(axis=-1, keepdims=True)
     probs = jnp.exp(logits)
-    denom = probs.sum(axis=-1, keepdims=True)
+    probs = probs / probs.sum(axis=-1, keepdims=True)
     pv = jax.lax.dot_general(  # (G, rows, Dh)
         probs.astype(v.dtype), v,
         dimension_numbers=(((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     )
-    out_ref[0] = (pv / denom).transpose(1, 0, 2).astype(out_ref.dtype)
+    out_ref[0] = pv.transpose(1, 0, 2).astype(out_ref.dtype)
 
 
 def _fwd_head_group_rowtile(qkv, num_heads, scale, temperature, interpret,

@@ -50,6 +50,8 @@ def main():
     impls = {
         "single": lambda x: A._fwd_impl(x, H, scale, 1.0, False, 1),
         "head_group": lambda x: A._fwd_head_group(x, H, scale, 1.0, False),
+        "head_group_normafter": lambda x: A._fwd_head_group(
+            x, H, scale, 1.0, False, norm_after=True),
         "rowtile": lambda x: A._fwd_head_group_rowtile(x, H, scale, 1.0,
                                                        False),
         "xla": lambda x: A._fwd_xla(x, H, scale, 1.0),
