@@ -1,19 +1,31 @@
 #!/usr/bin/env python3
 """Quantify the --int8_mlp accuracy impact (VERDICT r2: Weak #2).
 
-Two measurements on the real chip, printed as one JSON document:
+Two measurements, printed as one JSON document:
 
-A) **Per-block feature-error growth.** A scan that taps every block output
-   runs the SAME weights down the bf16 supercell path and the int8 MLP
-   path inside one jit; reports mean relative error per depth. ViT-B
+A) **Per-block feature-error growth** (TPU). A scan that taps every block
+   output runs the SAME weights down the bf16 supercell path and the int8
+   MLP path inside one jit; reports mean relative error per depth. ViT-B
    exercises the resident tier, ViT-H the two-kernel split.
 
 B) **Top-1 deltas on a tight-margin task.** Class prototypes with weak
    signal (alpha) + 10%% train-label noise make a task the linearly-
    separable fake dataset can't represent: the probe lands well below
-   100%%, so feature perturbations can actually move accuracy. Final-layer
-   features are extracted once per precision; the EP head trains on each
-   across >=5 seeds; we report per-seed best-val-top-1 deltas.
+   100%% (chance = 5%%), so feature perturbations can actually move
+   accuracy. Final-layer features are extracted once per precision on the
+   REAL TPU (the path users run); the EP head then trains on the cached
+   features across >=5 seeds and we report per-seed best-val-top-1 deltas.
+
+Two-phase design (the v1 single-process version ground to a halt at
+53 GB RSS: shipping a 77 MB feature batch through the axon relay every
+head-train step leaked client transfer buffers):
+
+  --phase extract   TPU: depth study + feature extraction; features land
+                    in --cache_dir as .npy, results fragments as JSON.
+  --phase heads     CPU in-process (jax_platforms=cpu BEFORE backend
+                    init): trains the probe heads on the cached features.
+                    Zero relay traffic, f32 matmuls ("highest").
+  --phase all       extract in-process, then re-exec for the heads phase.
 
 Caveat (documented in PERFORMANCE.md): the backbone is randomly
 initialized — no trained IN-1K checkpoints exist in this environment.
@@ -22,21 +34,19 @@ error propagation through LN/residual/GELU is structural, but absolute
 sensitivities on trained weights may differ.
 
 Usage: python scripts/int8_accuracy_study.py [--models vit_b,vit_h]
-       [--seeds 5]  (~20-40 min cold; remote compiles dominate)
+       [--seeds 5] [--phase all]
 """
 import argparse
+import gc
 import json
 import os
+import subprocess
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
-
-import flax.linen as nn
-import jax
-import jax.numpy as jnp
 
 MODELS = {
     # (ViTConfig name-equivalent dims) img 224: T = N+1
@@ -45,7 +55,7 @@ MODELS = {
     "vit_h": dict(patch=14, D=1280, depth=32, heads=16),
 }
 IMG = 224
-C = 20          # classes
+C = 20          # classes (chance = 5%)
 ALPHA = 0.25    # prototype signal strength (tight margins)
 NOISE_FRAC = 0.10
 N_TRAIN, N_VAL, BS = 2048, 1024, 256
@@ -57,6 +67,7 @@ def _log(m):
 
 
 def _cfgs(name):
+    import jax.numpy as jnp
     from ep_tpu.models.vit import ViTConfig
     m = MODELS[name]
     base = ViTConfig(img_size=IMG, patch_size=m["patch"], embed_dim=m["D"],
@@ -66,51 +77,11 @@ def _cfgs(name):
     return base, base.replace(int8_mlp=True)
 
 
-class _BlockTap(nn.Module):
-    """scan body that also COLLECTS each block's output."""
-
-    cfg: object
-
-    @nn.compact
-    def __call__(self, x, rel_bias, temperature):
-        from ep_tpu.models.vit import Block
-        y, _ = Block(self.cfg, name="block")(
-            x, temperature=temperature, rel_bias=rel_bias, capture=False)
-        return y, y
-
-
-class TapViT(nn.Module):
-    """Embedding + tapped scan; param names identical to the real backbone
-    (scan layout), so VisionTransformer-initialized params apply as-is."""
-
-    cfg: object
-
-    @nn.compact
-    def __call__(self, x):
-        c = self.cfg
-        B = x.shape[0]
-        D = c.embed_dim
-        x = nn.Conv(D, (c.patch_size, c.patch_size),
-                    strides=(c.patch_size, c.patch_size), padding="VALID",
-                    dtype=c.dtype, name="patch_embed")(x.astype(c.dtype))
-        x = x.reshape(B, -1, D)
-        cls = self.param("cls_token", nn.initializers.zeros, (1, 1, D),
-                         jnp.float32)
-        x = jnp.concatenate(
-            [jnp.broadcast_to(cls.astype(c.dtype), (B, 1, D)), x], axis=1)
-        pos = self.param("pos_embed", nn.initializers.normal(0.02),
-                         (1, 1 + c.num_patches, D), jnp.float32)
-        x = x + pos.astype(c.dtype)
-        Scan = nn.scan(_BlockTap, variable_axes={"params": 0},
-                       split_rngs={"params": True},
-                       in_axes=(nn.broadcast, nn.broadcast), length=c.depth)
-        _, ys = Scan(c, name="blocks")(x, None, 1.0)
-        return ys  # (depth, B, T, D)
-
-
 def _init_backbone(cfg):
-    from ep_tpu.models.vit import VisionTransformer
     import contextlib
+    import jax
+    import jax.numpy as jnp
+    from ep_tpu.models.vit import VisionTransformer
     model = VisionTransformer(cfg)
     try:
         ctx = jax.default_device(jax.devices("cpu")[0])
@@ -121,27 +92,6 @@ def _init_backbone(cfg):
             jax.random.key(0), jnp.zeros((2, IMG, IMG, 3), jnp.float32),
             "pos")
     return model, variables["params"]
-
-
-def depth_error_study(name, params, cfg_b, cfg_i, batch=16):
-    """Mean relative per-block feature error, one jit."""
-
-    @jax.jit
-    def study(p, imgs):
-        ys_b = TapViT(cfg_b).apply({"params": p}, imgs).astype(jnp.float32)
-        ys_i = TapViT(cfg_i).apply({"params": p}, imgs).astype(jnp.float32)
-        num = jnp.abs(ys_i - ys_b).mean(axis=(1, 2, 3))
-        den = jnp.abs(ys_b).mean(axis=(1, 2, 3)) + 1e-8
-        return num / den
-
-    rng = np.random.default_rng(0)
-    imgs = jnp.asarray(rng.normal(size=(batch, IMG, IMG, 3)).astype("f"))
-    t0 = time.time()
-    err = np.asarray(jax.device_get(study(params, imgs)))
-    _log(f"{name}: depth study done in {time.time() - t0:.0f}s; "
-         f"per-block rel err min={err.min():.4f} max={err.max():.4f} "
-         f"final={err[-1]:.4f}")
-    return [round(float(e), 5) for e in err]
 
 
 def _make_task(seed):
@@ -165,8 +115,88 @@ def _make_task(seed):
     return (xtr, ytr), (xva, yva)
 
 
-def extract_features(model, params, imgs):
-    """Final-layer patch tokens ('pos'), chunked at BS."""
+# ---------------------------------------------------------------- extract
+
+
+def depth_error_study(name, params, cfg_b, cfg_i, batch=16):
+    """Mean relative per-block feature error, one jit (TPU)."""
+    import flax.linen as nn
+    import jax
+    import jax.numpy as jnp
+    from ep_tpu.models.vit import Block
+
+    class _BlockTap(nn.Module):
+        """scan body that also COLLECTS each block's output."""
+
+        cfg: object
+
+        @nn.compact
+        def __call__(self, x, rel_bias, temperature):
+            y, _ = Block(self.cfg, name="block")(
+                x, temperature=temperature, rel_bias=rel_bias, capture=False)
+            return y, y
+
+    class TapViT(nn.Module):
+        """Embedding + tapped scan; param names identical to the real
+        backbone (scan layout), so VisionTransformer params apply as-is."""
+
+        cfg: object
+
+        @nn.compact
+        def __call__(self, x):
+            c = self.cfg
+            B = x.shape[0]
+            D = c.embed_dim
+            x = nn.Conv(D, (c.patch_size, c.patch_size),
+                        strides=(c.patch_size, c.patch_size), padding="VALID",
+                        dtype=c.dtype, name="patch_embed")(x.astype(c.dtype))
+            x = x.reshape(B, -1, D)
+            cls = self.param("cls_token", nn.initializers.zeros, (1, 1, D),
+                             jnp.float32)
+            x = jnp.concatenate(
+                [jnp.broadcast_to(cls.astype(c.dtype), (B, 1, D)), x], axis=1)
+            pos = self.param("pos_embed", nn.initializers.normal(0.02),
+                             (1, 1 + c.num_patches, D), jnp.float32)
+            x = x + pos.astype(c.dtype)
+            Scan = nn.scan(_BlockTap, variable_axes={"params": 0},
+                           split_rngs={"params": True},
+                           in_axes=(nn.broadcast, nn.broadcast),
+                           length=c.depth)
+            _, ys = Scan(c, name="blocks")(x, None, 1.0)
+            return ys  # (depth, B, T, D)
+
+    @jax.jit
+    def study(p, imgs):
+        ys_b = TapViT(cfg_b).apply({"params": p}, imgs).astype(jnp.float32)
+        ys_i = TapViT(cfg_i).apply({"params": p}, imgs).astype(jnp.float32)
+        num = jnp.abs(ys_i - ys_b).mean(axis=(1, 2, 3))
+        den = jnp.abs(ys_b).mean(axis=(1, 2, 3)) + 1e-8
+        return num / den
+
+    rng = np.random.default_rng(0)
+    imgs = jnp.asarray(rng.normal(size=(batch, IMG, IMG, 3)).astype("f"),
+                       jnp.bfloat16)
+    t0 = time.time()
+    err = np.asarray(jax.device_get(study(params, imgs)))
+    _log(f"{name}: depth study done in {time.time() - t0:.0f}s; "
+         f"per-block rel err min={err.min():.4f} max={err.max():.4f} "
+         f"final={err[-1]:.4f}")
+    return [round(float(e), 5) for e in err]
+
+
+def extract_features(tag, model, params, imgs, cache_dir):
+    """Final-layer patch tokens ('pos'), chunked at BS, cached as .npy.
+
+    Images ship as bf16 (identical numerics: the model's first op casts
+    to bf16 anyway); features come back bf16 and are stored as f32.
+    """
+    import jax
+    import jax.numpy as jnp
+    path = os.path.join(cache_dir, f"{tag}.npy")
+    if os.path.exists(path):
+        _log(f"{tag}: cached")
+        return
+    t0 = time.time()
 
     @jax.jit
     def fwd(p, x):
@@ -174,18 +204,52 @@ def extract_features(model, params, imgs):
         return feats
 
     out = []
-    for s in range(0, len(imgs), BS):
+    nchunks = (len(imgs) + BS - 1) // BS
+    for i, s in enumerate(range(0, len(imgs), BS)):
         chunk = imgs[s:s + BS]
         if len(chunk) < BS:  # pad to the compiled shape
             chunk = np.concatenate(
                 [chunk, np.zeros((BS - len(chunk),) + chunk.shape[1:], "f")])
-        out.append(np.asarray(jax.device_get(
-            fwd(params, jnp.asarray(chunk)))))
-    return np.concatenate(out)[:len(imgs)]
+        dev = fwd(params, jnp.asarray(chunk, jnp.bfloat16))
+        out.append(np.asarray(jax.device_get(dev), dtype=np.float32))
+        del dev
+        _log(f"{tag}: chunk {i + 1}/{nchunks} ({time.time() - t0:.0f}s)")
+    feats = np.concatenate(out)[:len(imgs)]
+    np.save(path, feats)
+    del out, feats
+    gc.collect()
+
+
+def run_extract(name, cache_dir):
+    from ep_tpu.models.vit import VisionTransformer
+    frag_path = os.path.join(cache_dir, f"{name}_depth.json")
+    cfg_b, cfg_i = _cfgs(name)
+    model_b, params = _init_backbone(cfg_b)
+    model_i = VisionTransformer(cfg_i)
+
+    if not os.path.exists(frag_path):
+        errs = depth_error_study(name, params, cfg_b, cfg_i)
+        with open(frag_path, "w") as f:
+            json.dump({"per_block_rel_err": errs}, f)
+
+    (xtr, ytr), (xva, yva) = _make_task(0)
+    extract_features(f"{name}_bf16_tr", model_b, params, xtr, cache_dir)
+    extract_features(f"{name}_bf16_va", model_b, params, xva, cache_dir)
+    extract_features(f"{name}_int8_tr", model_i, params, xtr, cache_dir)
+    extract_features(f"{name}_int8_va", model_i, params, xva, cache_dir)
+    np.save(os.path.join(cache_dir, f"{name}_ytr.npy"), ytr)
+    np.save(os.path.join(cache_dir, f"{name}_yva.npy"), yva)
+    del xtr, xva
+    gc.collect()
+
+
+# ------------------------------------------------------------------ heads
 
 
 def head_accuracy(feats_tr, ytr, feats_va, yva, seed):
-    """Train the EP head on cached features; return best val top-1."""
+    """Train the EP head on cached features (CPU); return best val top-1."""
+    import jax
+    import jax.numpy as jnp
     from ep_tpu.configs import TrainConfig
     from ep_tpu.parallel.mesh import make_mesh
     from ep_tpu.poolings.registry import ProbeHead
@@ -199,10 +263,10 @@ def head_accuracy(feats_tr, ytr, feats_va, yva, seed):
     cfg = TrainConfig(cls_features="ep", ep_queries=32, d_out=1,
                       nb_classes=C, batch_size=BS, eff_batch_size=BS,
                       epochs=EPOCHS, warmup_epochs=1, blr=0.1,
-                      pallas_pool=True)
-    head = ProbeHead(cfg, D, N, dtype=jnp.bfloat16)
+                      pallas_pool=False)
+    head = ProbeHead(cfg, D, N, dtype=jnp.float32)
     variables = head.init(jax.random.key(seed),
-                          jnp.zeros((2, N, D), jnp.bfloat16), train=True)
+                          jnp.zeros((2, N, D), jnp.float32), train=True)
     tx = build_optimizer("lars", 0.0)
     state = create_train_state(
         {"params": {"head": variables["params"]},
@@ -232,25 +296,13 @@ def head_accuracy(feats_tr, ytr, feats_va, yva, seed):
     return best
 
 
-def run_model(name, seeds):
-    from ep_tpu.models.vit import VisionTransformer
-    cfg_b, cfg_i = _cfgs(name)
-    model_b, params = _init_backbone(cfg_b)
-    model_i = VisionTransformer(cfg_i)
-
-    result = {"per_block_rel_err": depth_error_study(name, params,
-                                                     cfg_b, cfg_i)}
-
-    (xtr, ytr), (xva, yva) = _make_task(0)
-    _log(f"{name}: extracting bf16 features ...")
-    ftr_b = extract_features(model_b, params, xtr)
-    fva_b = extract_features(model_b, params, xva)
-    _log(f"{name}: extracting int8 features ...")
-    ftr_i = extract_features(model_i, params, xtr)
-    fva_i = extract_features(model_i, params, xva)
-    feat_err = (np.abs(ftr_i.astype("f") - ftr_b.astype("f")).mean()
-                / (np.abs(ftr_b.astype("f")).mean() + 1e-8))
-    result["final_feature_rel_err"] = round(float(feat_err), 5)
+def run_heads(name, seeds, cache_dir):
+    ld = lambda t: np.load(os.path.join(cache_dir, f"{t}.npy"))
+    ytr, yva = ld(f"{name}_ytr"), ld(f"{name}_yva")
+    ftr_b, fva_b = ld(f"{name}_bf16_tr"), ld(f"{name}_bf16_va")
+    ftr_i, fva_i = ld(f"{name}_int8_tr"), ld(f"{name}_int8_va")
+    feat_err = (np.abs(ftr_i - ftr_b).mean() / (np.abs(ftr_b).mean() + 1e-8))
+    result = {"final_feature_rel_err": round(float(feat_err), 5)}
 
     accs_b, accs_i = [], []
     for seed in range(seeds):
@@ -265,6 +317,8 @@ def run_model(name, seeds):
         bf16_top1=accs_b, int8_top1=accs_i, deltas=deltas,
         mean_delta=round(float(np.mean(deltas)), 3),
         worst_delta=round(float(np.min(deltas)), 2))
+    with open(os.path.join(cache_dir, f"{name}_depth.json")) as f:
+        result.update(json.load(f))
     return result
 
 
@@ -272,16 +326,41 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--models", default="vit_b,vit_h")
     ap.add_argument("--seeds", type=int, default=5)
+    ap.add_argument("--phase", default="all",
+                    choices=["all", "extract", "heads"])
+    ap.add_argument("--cache_dir", default="/tmp/int8_study_cache")
     args = ap.parse_args()
+    os.makedirs(args.cache_dir, exist_ok=True)
+    names = [n.strip() for n in args.models.split(",")]
 
-    out = {"task": f"{C}-class prototypes alpha={ALPHA} + "
-                   f"{int(NOISE_FRAC * 100)}% train label noise, "
-                   f"{N_TRAIN}/{N_VAL} imgs, EP32 head, {EPOCHS} epochs, "
-                   f"random-init backbone (no trained ckpts offline)"}
-    for name in args.models.split(","):
-        _log(f"=== {name} ===")
-        out[name] = run_model(name.strip(), args.seeds)
-    print(json.dumps(out, indent=1))
+    if args.phase == "heads":
+        # CPU in-process, BEFORE any backend init (env overrides don't
+        # stick under the axon sitecustomize; this does).
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_default_matmul_precision", "highest")
+        out = {"task": f"{C}-class prototypes alpha={ALPHA} + "
+                       f"{int(NOISE_FRAC * 100)}% train label noise, "
+                       f"{N_TRAIN}/{N_VAL} imgs, EP32 head, {EPOCHS} epochs, "
+                       f"random-init backbone (no trained ckpts offline)"}
+        for name in names:
+            _log(f"=== {name} heads ===")
+            out[name] = run_heads(name, args.seeds, args.cache_dir)
+        print(json.dumps(out, indent=1))
+        return
+
+    if args.phase in ("all", "extract"):
+        for name in names:
+            _log(f"=== {name} extract ===")
+            run_extract(name, args.cache_dir)
+
+    if args.phase == "all":
+        # fresh process so the heads phase can pin the CPU backend
+        subprocess.run(
+            [sys.executable, os.path.abspath(__file__),
+             "--models", args.models, "--seeds", str(args.seeds),
+             "--phase", "heads", "--cache_dir", args.cache_dir],
+            check=True)
 
 
 if __name__ == "__main__":
