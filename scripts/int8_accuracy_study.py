@@ -118,10 +118,14 @@ def _make_task(seed):
 # ---------------------------------------------------------------- extract
 
 
-def depth_error_study(name, params, cfg_b, cfg_i, batch=16):
-    """Mean relative per-block feature error, one jit (TPU)."""
+def _build_tap_vit():
+    """Lazily define TapViT (deferred flax import so --phase heads can pin
+    the CPU backend before anything jax-adjacent loads). Cached in globals;
+    tests/test_int8_depth_growth.py reaches it as module attr `TapViT` via
+    __getattr__."""
+    if "TapViT" in globals():
+        return globals()["TapViT"]
     import flax.linen as nn
-    import jax
     import jax.numpy as jnp
     from ep_tpu.models.vit import Block
 
@@ -164,6 +168,23 @@ def depth_error_study(name, params, cfg_b, cfg_i, batch=16):
                            length=c.depth)
             _, ys = Scan(c, name="blocks")(x, None, 1.0)
             return ys  # (depth, B, T, D)
+
+    globals()["TapViT"] = TapViT
+    return TapViT
+
+
+def __getattr__(name):
+    if name == "TapViT":
+        return _build_tap_vit()
+    raise AttributeError(name)
+
+
+def depth_error_study(name, params, cfg_b, cfg_i, batch=16):
+    """Mean relative per-block feature error, one jit (TPU)."""
+    import jax
+    import jax.numpy as jnp
+
+    TapViT = _build_tap_vit()
 
     @jax.jit
     def study(p, imgs):
