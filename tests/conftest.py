@@ -21,6 +21,21 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
 
 
+@pytest.fixture(autouse=True)
+def _mesh_registry_isolation():
+    """Snapshot/restore the current-mesh kernel-dispatch registry.
+
+    The CLIs call set_current_mesh() as process-scoped drivers and never
+    reset; tests that drive them in-process (test_cli_aux,
+    test_ep_advantage) would otherwise leak an 8-device mesh into every
+    later test's trace (caught by data_parallel_call's divisibility
+    guard in test_int8_depth_growth, batch 2 vs data=8)."""
+    from ep_tpu.parallel.mesh import current_mesh, set_current_mesh
+    prev = current_mesh()
+    yield
+    set_current_mesh(prev)
+
+
 @pytest.fixture(scope="session")
 def mesh8():
     from ep_tpu.parallel.mesh import make_mesh
