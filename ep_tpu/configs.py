@@ -154,6 +154,9 @@ class TrainConfig:
     use_grain: bool = False  # grain-backed input pipeline (worker processes)
     scan_blocks: bool = False  # lax.scan over encoder layers (depth× smaller
     # HLO; much faster compiles for ViT-L/H; diagnostics paths need it off)
+    remat_blocks: bool = False  # rematerialize blocks in the backward pass
+    # (--finetuning memory: per-block residuals shrink to the activations
+    # carry). Requires --scan_blocks; no effect on the frozen probing path.
     debug_nans: bool = False  # jax_debug_nans: fail at the op producing NaN
     profile_dir: str = ""  # write a jax.profiler trace here when set
 
@@ -264,6 +267,7 @@ def get_args_parser() -> argparse.ArgumentParser:
                         "(2x MXU rate; ~1.2%% mean feature error vs bf16)")
     p.add_argument("--use_grain", action="store_true", default=False)
     p.add_argument("--scan_blocks", action="store_true", default=False)
+    p.add_argument("--remat_blocks", action="store_true", default=False)
     p.add_argument("--debug_nans", action="store_true", default=False)
     p.add_argument("--profile_dir", default="", type=str)
     return p

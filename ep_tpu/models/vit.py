@@ -88,6 +88,12 @@ class ViTConfig:
     # ~17% off the MLP half at ViT-B bench shapes; ~1.2% mean feature
     # error vs bf16 — see ops/mlp_int8_pallas.py). Takes effect on the
     # Pallas supercell path with mlp_type="gelu".
+    remat_blocks: bool = False  # rematerialize each block in the backward
+    # pass (--finetuning memory): residuals per block shrink to the (B,T,D)
+    # carry, so ViT-H full-finetune fits HBM at useful batch sizes. Only
+    # meaningful when gradients flow through the backbone; requires
+    # scan_blocks (the unrolled path's static capture kwargs don't compose
+    # with nn.remat).
     scan_blocks: bool = False  # lax.scan over layers: one traced block body
     # (depth× smaller HLO, much faster compiles for deep ViTs); params live
     # stacked under 'blocks/block' instead of per-layer 'blocks_i'. The
@@ -547,9 +553,16 @@ class VisionTransformer(nn.Module):
                     and not needs_final_attn
                     and (return_block is None or return_block == c.depth - 1)
                     and c.rel_pos_bias != "per_block")
+        if c.remat_blocks and not c.scan_blocks:
+            raise ValueError("remat_blocks=True requires scan_blocks=True")
         if use_scan:
+            # static_argnums=(3,): temperature reaches kernel dispatch as a
+            # python float; rel_bias stays dynamic (None = empty pytree).
+            body = (nn.remat(_BlockWrap, static_argnums=(3,),
+                             prevent_cse=False)
+                    if c.remat_blocks else _BlockWrap)
             ScanBlocks = nn.scan(
-                _BlockWrap,
+                body,
                 variable_axes={"params": 0},
                 split_rngs={"params": True},
                 in_axes=(nn.broadcast, nn.broadcast),

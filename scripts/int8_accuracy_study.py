@@ -115,6 +115,79 @@ def _make_task(seed):
     return (xtr, ytr), (xva, yva)
 
 
+def finetune_backbone(name, params, steps, cache_dir):
+    """Supervised finetune on the prototype task → TRAINED weights.
+
+    Closes the study's stated caveat (random-init backbones): no offline
+    checkpoints exist, so structured weight/activation distributions —
+    including the outlier channels per-channel quantization actually
+    fears — are produced by training the backbone itself on the task.
+    XLA attention + remat_blocks for the backward (the fused kernels are
+    forward/frozen-path); extraction afterwards runs the normal pallas
+    path on the trained params. Cached as msgpack in cache_dir."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from flax import serialization
+    from ep_tpu.models.vit import VisionTransformer
+
+    path = os.path.join(cache_dir, f"{name}_trained.msgpack")
+    if os.path.exists(path):
+        _log(f"{name}: trained backbone cached")
+        with open(path, "rb") as f:
+            return serialization.from_bytes(params, f.read())
+
+    cfg_b, _ = _cfgs(name)
+    model = VisionTransformer(cfg_b.replace(attn_impl="xla",
+                                            remat_blocks=True))
+    bs = {"vit_b": 256, "vit_l": 128, "vit_h": 64}[name]
+    (xtr, ytr), _ = _make_task(0)
+    D = cfg_b.embed_dim
+    r = np.random.default_rng(1)
+    head = (jnp.asarray(r.normal(0, 0.02, size=(D, C)).astype("f")),
+            jnp.zeros((C,), jnp.float32))
+    tx = optax.chain(optax.clip_by_global_norm(1.0),
+                     optax.adamw(optax.warmup_cosine_decay_schedule(
+                         0.0, 3e-4, max(steps // 10, 1), steps)))
+
+    def loss_fn(p, hd, x, y):
+        feats, _, _ = model.apply({"params": p}, x, "pos")
+        logits = feats.mean(1).astype(jnp.float32) @ hd[0] + hd[1]
+        logp = jax.nn.log_softmax(logits)
+        return -jnp.take_along_axis(logp, y[:, None], 1).mean()
+
+    @jax.jit
+    def step(p, hd, ts, xd, yd, sel):
+        x, y = jnp.take(xd, sel, axis=0), jnp.take(yd, sel, axis=0)
+        loss, grads = jax.value_and_grad(loss_fn, argnums=(0, 1))(p, hd, x, y)
+        updates, ts = tx.update(grads, ts, (p, hd))
+        p, hd = optax.apply_updates((p, hd), updates)
+        return p, hd, ts, loss
+
+    # dataset device-resident once; per-step index gather happens in-jit
+    # (eager gathers would pay the ~26 ms relay RTT per dispatch)
+    xd = jax.device_put(jnp.asarray(xtr, jnp.bfloat16))
+    yd = jax.device_put(jnp.asarray(ytr))
+    p = jax.device_put(params)
+    ts = tx.init((p, head))
+    order = np.random.default_rng(2)
+    t0 = time.time()
+    for i in range(steps):
+        sel = jnp.asarray(order.integers(0, N_TRAIN, size=(bs,)))
+        p, head, ts, loss = step(p, head, ts, xd, yd, sel)
+        if i % 50 == 0 or i == steps - 1:
+            _log(f"{name} finetune step {i}/{steps}: "
+                 f"loss {float(jax.device_get(loss)):.3f} "
+                 f"({time.time() - t0:.0f}s)")
+    p = jax.tree.map(lambda a: np.asarray(a, np.float32),
+                     jax.device_get(p))
+    with open(path, "wb") as f:
+        f.write(serialization.to_bytes(p))
+    del xd, yd, ts
+    gc.collect()
+    return p
+
+
 # ---------------------------------------------------------------- extract
 
 
@@ -241,12 +314,14 @@ def extract_features(tag, model, params, imgs, cache_dir):
     gc.collect()
 
 
-def run_extract(name, cache_dir):
+def run_extract(name, cache_dir, train_steps=0):
     from ep_tpu.models.vit import VisionTransformer
     frag_path = os.path.join(cache_dir, f"{name}_depth.json")
     cfg_b, cfg_i = _cfgs(name)
     model_b, params = _init_backbone(cfg_b)
     model_i = VisionTransformer(cfg_i)
+    if train_steps:
+        params = finetune_backbone(name, params, train_steps, cache_dir)
 
     if not os.path.exists(frag_path):
         errs = depth_error_study(name, params, cfg_b, cfg_i)
@@ -350,6 +425,9 @@ def main():
     ap.add_argument("--phase", default="all",
                     choices=["all", "extract", "heads"])
     ap.add_argument("--cache_dir", default="/tmp/int8_study_cache")
+    ap.add_argument("--train_backbone_steps", type=int, default=0,
+                    help="finetune the backbone on the task first (trained-"
+                         "weights variant of the study; 0 = random init)")
     args = ap.parse_args()
     os.makedirs(args.cache_dir, exist_ok=True)
     names = [n.strip() for n in args.models.split(",")]
@@ -360,10 +438,13 @@ def main():
         import jax
         jax.config.update("jax_platforms", "cpu")
         jax.config.update("jax_default_matmul_precision", "highest")
+        init = (f"task-finetuned backbone ({args.train_backbone_steps} "
+                f"steps)" if args.train_backbone_steps else
+                "random-init backbone (no trained ckpts offline)")
         out = {"task": f"{C}-class prototypes alpha={ALPHA} + "
                        f"{int(NOISE_FRAC * 100)}% train label noise, "
                        f"{N_TRAIN}/{N_VAL} imgs, EP32 head, {EPOCHS} epochs, "
-                       f"random-init backbone (no trained ckpts offline)"}
+                       f"{init}"}
         for name in names:
             _log(f"=== {name} heads ===")
             out[name] = run_heads(name, args.seeds, args.cache_dir)
@@ -373,14 +454,15 @@ def main():
     if args.phase in ("all", "extract"):
         for name in names:
             _log(f"=== {name} extract ===")
-            run_extract(name, args.cache_dir)
+            run_extract(name, args.cache_dir, args.train_backbone_steps)
 
     if args.phase == "all":
         # fresh process so the heads phase can pin the CPU backend
         subprocess.run(
             [sys.executable, os.path.abspath(__file__),
              "--models", args.models, "--seeds", str(args.seeds),
-             "--phase", "heads", "--cache_dir", args.cache_dir],
+             "--phase", "heads", "--cache_dir", args.cache_dir,
+             "--train_backbone_steps", str(args.train_backbone_steps)],
             check=True)
 
 

@@ -108,3 +108,35 @@ def test_scan_blocks_e2e_training(tmp_path, monkeypatch):
                       num_workers=2, amp="float32", seed=0)
     res = main(cfg)
     assert res["max_accuracy"] > 60.0
+
+
+def test_remat_blocks_matches_scan(rng):
+    """remat_blocks: identical params tree, forward, and backbone grads
+    (the finetuning path it exists for)."""
+    m_scan = VisionTransformer(CFG.replace(scan_blocks=True))
+    m_remat = VisionTransformer(CFG.replace(scan_blocks=True,
+                                            remat_blocks=True))
+    x = jax.random.normal(rng, (2, 16, 16, 3))
+    p1 = m_scan.init(jax.random.key(0), x, "pos")["params"]
+    p2 = m_remat.init(jax.random.key(0), x, "pos")["params"]
+    assert (jax.tree_util.tree_structure(p1)
+            == jax.tree_util.tree_structure(p2))
+
+    def loss(m):
+        return lambda p: m.apply({"params": p}, x, "pos")[0].sum()
+
+    np.testing.assert_allclose(np.asarray(loss(m_scan)(p1)),
+                               np.asarray(loss(m_remat)(p1)), rtol=1e-6)
+    g1 = jax.grad(loss(m_scan))(p1)
+    g2 = jax.grad(loss(m_remat))(p1)
+    for a, b in zip(jax.tree_util.tree_leaves(g1),
+                    jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_remat_requires_scan():
+    m = VisionTransformer(CFG.replace(remat_blocks=True))
+    x = jnp.zeros((1, 16, 16, 3))
+    with pytest.raises(ValueError, match="requires scan_blocks"):
+        m.init(jax.random.key(0), x, "pos")
