@@ -146,9 +146,14 @@ def finetune_backbone(name, params, steps, cache_dir):
     r = np.random.default_rng(1)
     head = (jnp.asarray(r.normal(0, 0.02, size=(D, C)).astype("f")),
             jnp.zeros((C,), jnp.float32))
-    tx = optax.chain(optax.clip_by_global_norm(1.0),
-                     optax.adamw(optax.warmup_cosine_decay_schedule(
-                         0.0, 3e-4, max(steps // 10, 1), steps)))
+    sched = optax.warmup_cosine_decay_schedule(
+        0.0, 3e-4, max(steps // 10, 1), steps)
+    # ViT-H: adamw's 2x-params f32 state (5 GB) + grads + param copies
+    # blow the 16 GB HBM even with donation — adafactor's factored state
+    # is ~free and converges fine for this purpose.
+    opt = (optax.adamw(sched) if name == "vit_b"
+           else optax.adafactor(learning_rate=sched))
+    tx = optax.chain(optax.clip_by_global_norm(1.0), opt)
 
     def loss_fn(p, hd, x, y):
         feats, _, _ = model.apply({"params": p}, x, "pos")
@@ -156,7 +161,9 @@ def finetune_backbone(name, params, steps, cache_dir):
         logp = jax.nn.log_softmax(logits)
         return -jnp.take_along_axis(logp, y[:, None], 1).mean()
 
-    @jax.jit
+    import functools
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
     def step(p, hd, ts, xd, yd, sel):
         x, y = jnp.take(xd, sel, axis=0), jnp.take(yd, sel, axis=0)
         loss, grads = jax.value_and_grad(loss_fn, argnums=(0, 1))(p, hd, x, y)
