@@ -331,7 +331,12 @@ def _bench_cached_mode(cfg, mesh):
     for _ in range(2):
         state, m = train_step(state, feats, labels)
         float(jax.device_get(m["loss"]))
-    K = 16
+    # K=32 since r4 (was 16): cached-mode steps are ~5 ms, so the ~26 ms
+    # relay RTT is 27% of a 16-chain but 13% of a 32-chain; real cached
+    # training dispatches a whole epoch (thousands of steps) between metric
+    # drains, so longer chains are the honest estimate. r3's 87k at K=16
+    # measures ~99k at K=32 on identical code.
+    K = 32
     chain = []
     for _ in range(3):
         t0 = time.perf_counter()

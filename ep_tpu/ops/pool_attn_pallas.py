@@ -160,3 +160,149 @@ def ep_pool_attend_xla(q_scaled, tokens, v):
     attn = jax.nn.softmax(logits, axis=-1)
     return jnp.einsum("bqn,bnqc->bqc", attn.astype(v.dtype), v,
                       preferred_element_type=jnp.float32).astype(v.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Fused v-projection + pooling (the cached-feature hot path).
+#
+# The padded kernel above commits the documented anti-pattern at typical
+# probe shapes: jnp.pad of tokens AND values (two full HBM tensor copies,
+# ~700 MB of traffic at bs512/ViT-B) to save a 13 MB (B,Q,N) probs
+# round-trip, while the value projection x@W — the head's actual FLOPs,
+# reference poolings/ep.py:30 — runs as a separate HBM-materialized matmul.
+# This variant consumes tokens in their NATURAL layout (Mosaic masks the
+# non-divisible N itself, the attn_fused_pallas.py lesson), computes the
+# projection in-kernel with W resident in VMEM, and never materializes
+# either v or the probabilities. Head-only training steps on cached tokens
+# are where this dominates (train/feature_cache.py).
+# ---------------------------------------------------------------------------
+
+
+def _ep_fused_kernel(q_ref, x_ref, w_ref, mask_ref, out_ref, *, stripes: int):
+    # q: (Q, C) pre-scaled bf16; x: (BB, N, C) natural layout; w: (C, QC);
+    # mask: (Q, QC) block-diagonal; out: (BB, QC).
+    q = q_ref[:]
+    x = x_ref[:]
+    logits = jax.lax.dot_general(  # (BB, N, Q), f32 accum from bf16 operands
+        x, q, dimension_numbers=(((2,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    logits = logits - logits.max(axis=1, keepdims=True)
+    probs = jnp.exp(logits)
+    probs = (probs / probs.sum(axis=1, keepdims=True)).astype(x.dtype)
+    QC = w_ref.shape[1]
+    ds = QC // stripes
+    for s in range(stripes):
+        sl = slice(s * ds, (s + 1) * ds)
+        v = jax.lax.dot_general(  # (BB, N, ds) — the value projection
+            x, w_ref[:, sl], dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(x.dtype)
+        full = jax.lax.dot_general(  # (BB, Q, ds)
+            probs, v, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        out_ref[:, sl] = (full * mask_ref[:, sl][None]).sum(axis=1).astype(
+            out_ref.dtype)
+
+
+def proj_plan(N: int, C: int, Q: int, QC: int, itemsize: int = 2) -> int:
+    """QC-column stripe count that fits scoped VMEM, or 0 = XLA fallback.
+
+    Budget: double-buffered x blocks + resident W + the (BB,N,ds) f32 dot
+    transient and its token-dtype cast + f32 logits/probs + the (BB,Q,ds)
+    full matrix + double-buffered out blocks. ``itemsize`` is the token
+    dtype's (bf16 in production; f32 tokens double the footprint and
+    typically push ViT-B past the budget — the module casts to its compute
+    dtype before calling, poolings/ep.py)."""
+    for ns in (1, 2, 4, 8):
+        if QC % ns or (QC // ns) % 128:
+            continue
+        ds = QC // ns
+        est = (2 * BB * N * C * itemsize + C * QC * itemsize
+               + BB * N * ds * (4 + itemsize)
+               + 2 * BB * N * Q * 4 + BB * Q * ds * 4
+               + 2 * BB * QC * 4 + Q * C * itemsize + Q * QC * 4)
+        if est <= 12 * 1024 * 1024:
+            return ns
+    return 0
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def ep_pool_proj_attend(
+    q_scaled: jnp.ndarray,  # (Q, C), already multiplied by scale
+    tokens: jnp.ndarray,  # (B, N, C)
+    w: jnp.ndarray,  # (C, QC) value-projection weight (EP's v has no bias)
+    interpret: bool = False,
+) -> jnp.ndarray:  # (B, Q, cq)
+    return _ep_proj_fwd_only(q_scaled, tokens, w, interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _ep_proj_fwd_only(q_scaled, tokens, w, interpret=False):
+    B, N, C = tokens.shape
+    Q = q_scaled.shape[0]
+    QC = w.shape[1]
+    stripes = proj_plan(N, C, Q, QC, tokens.dtype.itemsize)
+    if stripes == 0 and not interpret:
+        return ep_pool_proj_attend_xla(q_scaled, tokens, w)
+    stripes = stripes or 1
+    bb = BB
+    b_pad = ((B + bb - 1) // bb) * bb
+    tokens_p = jnp.pad(tokens, [(0, b_pad - B), (0, 0), (0, 0)]) \
+        if b_pad != B else tokens
+
+    cq = QC // Q
+    mask = np.zeros((Q, QC), dtype=np.float32)
+    for i in range(Q):
+        mask[i, i * cq:(i + 1) * cq] = 1.0
+    mask = jnp.asarray(mask, jnp.float32)
+
+    const = lambda b: (0, 0)
+    out = pl.pallas_call(
+        functools.partial(_ep_fused_kernel, stripes=stripes),
+        grid=(b_pad // bb,),
+        in_specs=[
+            pl.BlockSpec((Q, C), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, N, C), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, QC), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((Q, QC), const, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bb, QC), lambda b: (b, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b_pad, QC), tokens.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b_pad * N * (Q * C + C * QC + Q * QC),
+            bytes_accessed=b_pad * (N * C + QC) * tokens.dtype.itemsize
+            + C * QC * 2,
+            transcendentals=b_pad * Q * N,
+        ),
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
+        interpret=interpret,
+    )(q_scaled.astype(tokens.dtype), tokens_p, w.astype(tokens.dtype), mask)
+    return out[:B].reshape(B, Q, cq)
+
+
+def ep_pool_proj_attend_xla(q_scaled, tokens, w):
+    """XLA composition of the same math (fallback + backward)."""
+    B, N, C = tokens.shape
+    Q = q_scaled.shape[0]
+    QC = w.shape[1]
+    v = (tokens @ w.astype(tokens.dtype)).reshape(B, N, Q, QC // Q)
+    return ep_pool_attend_xla(q_scaled, tokens, v)
+
+
+def _ep_proj_fwd(q_scaled, tokens, w, interpret):
+    out = _ep_proj_fwd_only(q_scaled, tokens, w, interpret)
+    return out, (q_scaled, tokens, w)
+
+
+def _ep_proj_bwd(interpret, res, g):
+    q_scaled, tokens, w = res
+    _, vjp = jax.vjp(ep_pool_proj_attend_xla, q_scaled, tokens, w)
+    return vjp(g.astype(tokens.dtype))
+
+
+ep_pool_proj_attend.defvjp(_ep_proj_fwd, _ep_proj_bwd)

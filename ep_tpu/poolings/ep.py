@@ -23,7 +23,21 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from .common import dense, normal
+from .common import dense, normal, torch_linear_init
+
+
+class _VKernel(nn.Module):
+    """Declare the v projection's param tree (same name/init as the
+    nn.Dense it stands in for) without running the matmul — the fused
+    Pallas path computes x@W in-kernel (ops/pool_attn_pallas.py)."""
+
+    features: int
+    in_dim: int
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", torch_linear_init,
+                          (self.in_dim, self.features), jnp.float32)
 
 
 class EfficientProbing(nn.Module):
@@ -49,17 +63,42 @@ class EfficientProbing(nn.Module):
         queries = self.param(
             "cls_token", normal(0.02), (1, Q, C), jnp.float32
         ).astype(self.dtype)
-        v = dense(c_prime, use_bias=self.qkv_bias, dtype=self.dtype, name="v")(x)
 
         from ep_tpu.ops import kernel_mode
         k_ok, k_interp = kernel_mode()
-        if self.use_pallas and not return_attn and \
-                not self.is_initializing() and k_ok:
+        use_kernel = (self.use_pallas and not return_attn
+                      and not self.is_initializing() and k_ok)
+        import os
+        if use_kernel and not self.qkv_bias \
+                and os.environ.get("EP_TPU_EP_FUSED"):
+            # OPT-IN fused path (EP_TPU_EP_FUSED=1): the v projection runs
+            # IN-kernel, neither v nor the probs ever hit HBM. MEASURED
+            # SLOWER than the XLA composition at probe shapes (6.44 vs
+            # 5.14 ms cached head step, bs512/ViT-B — the custom-VJP
+            # backward recomputes the 119 GF projection that XLA's
+            # residual-saving path reuses; PERFORMANCE.md). Kept for
+            # long-N descriptors where the (B,Q,N) probs round-trip
+            # dominates. _VKernel declares the identical "v"/"kernel"
+            # param the dense branch below creates at init; tokens are
+            # cast to the compute dtype (f32 tokens would double the
+            # kernel's VMEM and run the MXU at the f32 rate).
+            from ep_tpu.ops.pool_attn_pallas import ep_pool_proj_attend
+            from ep_tpu.parallel.mesh import data_parallel_call
+            w = _VKernel(c_prime, C, name="v")()
+            out = data_parallel_call(
+                lambda q_, x_, w_: ep_pool_proj_attend(q_, x_, w_, k_interp),
+                (queries[0] * scale, x.astype(self.dtype), w),
+                (False, True, False))
+            return out.reshape(B, c_prime)
+
+        v = dense(c_prime, use_bias=self.qkv_bias, dtype=self.dtype, name="v")(x)
+        if use_kernel:
             from ep_tpu.ops.pool_attn_pallas import ep_pool_attend
             from ep_tpu.parallel.mesh import data_parallel_call
             out = data_parallel_call(
                 lambda q_, x_, v_: ep_pool_attend(q_, x_, v_, k_interp),
-                (queries[0] * scale, x, v.reshape(B, N, Q, cq)),
+                (queries[0] * scale, x.astype(self.dtype),
+                 v.reshape(B, N, Q, cq)),
                 (False, True, True))
             return out.reshape(B, c_prime)
 

@@ -119,16 +119,40 @@ def gate_int8_mlp(model):
 
 
 def gate_ep_pool():
-    """EP pooled attention (fwd kernel; VJP backward is XLA)."""
+    """EP pooled attention, pre-projected values (fwd kernel; VJP backward
+    is XLA). Shapes are d_out=2 / bf16: at d_out=1 ViT-B+ shapes this
+    kernel's own VMEM plan rejects itself (padded x AND v double-buffered)
+    and silently takes the XLA fallback — the d_out=1 path is served by the
+    fused-projection kernel below instead."""
     from ep_tpu.ops.pool_attn_pallas import ep_pool_attend, ep_pool_attend_xla
-    Q, C, N = 32, 768, 196
-    cq = C // Q
-    q = _rng(Q, C, dtype=jnp.float32, seed=12) * (C ** -0.5)
-    x = _rng(B, N, C, dtype=jnp.float32, seed=13)
-    v = _rng(B, N, Q, cq, dtype=jnp.float32, seed=14)
+    Q, C, d_out, N = 32, 768, 2, 196
+    cq = C // (d_out * Q)
+    q = _rng(Q, C, dtype=jnp.bfloat16, seed=12) * (C ** -0.5)
+    x = _rng(B, N, C, dtype=jnp.bfloat16, seed=13)
+    v = _rng(B, N, Q, cq, dtype=jnp.bfloat16, seed=14)
     out = ep_pool_attend(q, x, v)
     ref = ep_pool_attend_xla(q, x, v)
-    _check("ep_pool_attend", out, ref, 1e-4, 1e-2)
+    _check("ep_pool_attend[d_out=2]", out, ref, 5e-3, 1e-1)
+
+
+def gate_ep_pool_fused():
+    """Fused v-projection + EP pooling at the real probing shape (N=197
+    exercises Mosaic's non-divisible-sublane masking; bf16 like prod)."""
+    from ep_tpu.ops.pool_attn_pallas import (ep_pool_proj_attend,
+                                             ep_pool_proj_attend_xla,
+                                             proj_plan)
+    Q, C, N = 32, 768, 197
+    stripes = proj_plan(N, C, Q, C)
+    if stripes == 0:
+        print("[gate] FAIL ep_pool_proj: plan says fallback at ViT-B shape")
+        FAILURES.append("ep_pool_proj plan")
+        return
+    q = _rng(Q, C, dtype=jnp.bfloat16, seed=15) * (C ** -0.5)
+    x = _rng(B, N, C, dtype=jnp.bfloat16, seed=16)
+    w = _rng(C, C, dtype=jnp.float32, seed=17) * (C ** -0.5)
+    out = ep_pool_proj_attend(q, x, w)
+    ref = ep_pool_proj_attend_xla(q, x, w)
+    _check(f"ep_pool_proj[stripes={stripes}]", out, ref, 2e-2, 0.2)
 
 
 def main():
@@ -151,6 +175,7 @@ def main():
         gate_fused_attention("vit_h")
         gate_int8_mlp("vit_b")
         gate_ep_pool()
+        gate_ep_pool_fused()
     else:
         for m in ("vit_b", "vit_l", "vit_h"):
             gate_fused_attention(m)
@@ -159,6 +184,7 @@ def main():
         for m in ("vit_b", "vit_l", "vit_h"):
             gate_int8_mlp(m)
         gate_ep_pool()
+        gate_ep_pool_fused()
     print(f"[gate] done in {time.time() - t0:.0f}s; "
           f"{'ALL GREEN' if not FAILURES else 'FAILED: ' + str(FAILURES)}")
     sys.exit(1 if FAILURES else 0)

@@ -42,6 +42,76 @@ def test_ep_pallas_vjp_matches_xla(rng):
                                    atol=1e-3, rtol=1e-3)
 
 
+def test_ep_fused_proj_matches_xla_interpret(rng):
+    from ep_tpu.ops.pool_attn_pallas import (ep_pool_proj_attend,
+                                             ep_pool_proj_attend_xla)
+    B, N, C, Q = 3, 37, 128, 4  # unaligned N and B exercise batch padding
+    k1, k2, k3 = jax.random.split(rng, 3)
+    q = jax.random.normal(k1, (Q, C)) * C ** -0.5
+    x = jax.random.normal(k2, (B, N, C))
+    w = jax.random.normal(k3, (C, C)) * C ** -0.5
+    ref = ep_pool_proj_attend_xla(q, x, w)
+    out = ep_pool_proj_attend(q, x, w, True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+
+def test_ep_fused_proj_d_out_2(rng):
+    from ep_tpu.ops.pool_attn_pallas import (ep_pool_proj_attend,
+                                             ep_pool_proj_attend_xla)
+    B, N, C, Q, d_out = 8, 17, 128, 4, 2  # QC = C//d_out
+    k1, k2, k3 = jax.random.split(rng, 3)
+    q = jax.random.normal(k1, (Q, C)) * C ** -0.5
+    x = jax.random.normal(k2, (B, N, C))
+    w = jax.random.normal(k3, (C, C // d_out)) * C ** -0.5
+    ref = ep_pool_proj_attend_xla(q, x, w)
+    out = ep_pool_proj_attend(q, x, w, True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+
+def test_ep_fused_proj_vjp(rng):
+    from ep_tpu.ops.pool_attn_pallas import (ep_pool_proj_attend,
+                                             ep_pool_proj_attend_xla)
+    B, N, C, Q = 2, 17, 64, 4
+    k1, k2, k3 = jax.random.split(rng, 3)
+    q = jax.random.normal(k1, (Q, C)) * C ** -0.5
+    x = jax.random.normal(k2, (B, N, C))
+    w = jax.random.normal(k3, (C, C)) * C ** -0.5
+
+    gp = jax.grad(lambda *a: (ep_pool_proj_attend(*a, True) ** 2).sum(),
+                  argnums=(0, 1, 2))(q, x, w)
+    gx = jax.grad(lambda *a: (ep_pool_proj_attend_xla(*a) ** 2).sum(),
+                  argnums=(0, 1, 2))(q, x, w)
+    for a, b in zip(gp, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-3, rtol=1e-3)
+
+
+def test_ep_module_fused_path_matches_dense(rng):
+    """EfficientProbing with use_pallas (fused in-kernel projection, via
+    _VKernel param aliasing) must equal the plain dense composition on the
+    same params."""
+    import os
+    from ep_tpu.poolings.ep import EfficientProbing
+
+    B, N, C, Q = 5, 37, 128, 4
+    x = jax.random.normal(rng, (B, N, C), jnp.float32)
+    mod_ref = EfficientProbing(dim=C, num_queries=Q, dtype=jnp.float32,
+                               use_pallas=False)
+    params = mod_ref.init(jax.random.key(0), x)
+    ref = mod_ref.apply(params, x)
+    mod_k = EfficientProbing(dim=C, num_queries=Q, dtype=jnp.float32,
+                             use_pallas=True)
+    os.environ["EP_TPU_PALLAS_INTERPRET"] = "1"
+    os.environ["EP_TPU_EP_FUSED"] = "1"  # fused path is opt-in (measured
+    # slower than XLA at probe shapes; kept for long-N — PERFORMANCE.md)
+    try:
+        out = mod_k.apply(params, x)
+    finally:
+        del os.environ["EP_TPU_PALLAS_INTERPRET"]
+        del os.environ["EP_TPU_EP_FUSED"]
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+
 def test_flash_attention_matches_mha_interpret(rng):
     from ep_tpu.ops.flash_attn_pallas import flash_attention
     B, H, T, Dh = 2, 4, 37, 16  # unaligned T/Dh exercise the padding

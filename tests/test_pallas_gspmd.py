@@ -110,6 +110,36 @@ def test_ep_pool_sharded_values_and_grads(mesh8):
                                    rtol=1e-4, atol=1e-5)
 
 
+def test_ep_pool_fused_proj_sharded_values_and_grads(mesh8):
+    from ep_tpu.ops.pool_attn_pallas import (ep_pool_proj_attend,
+                                             ep_pool_proj_attend_xla)
+
+    rng = np.random.default_rng(3)
+    B, N, C, Q = 16, 10, 32, 4
+    q = jnp.asarray(rng.normal(size=(Q, C)).astype(np.float32) * 0.1)
+    x = jnp.asarray(rng.normal(size=(B, N, C)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(C, C)).astype(np.float32) * 0.1)
+
+    def loss_kernel(q_, x_, w_):
+        out = M.data_parallel_call(
+            lambda a, b_, c_: ep_pool_proj_attend(a, b_, c_, True),
+            (q_, x_, w_), (False, True, False))
+        return (out.astype(jnp.float32) ** 2).sum()
+
+    def loss_xla(q_, x_, w_):
+        return (ep_pool_proj_attend_xla(q_, x_, w_)
+                .astype(jnp.float32) ** 2).sum()
+
+    xs = _shard(x, mesh8)
+    val, grads = jax.value_and_grad(loss_kernel, argnums=(0, 1, 2))(q, xs, w)
+    ref_val, ref_grads = jax.value_and_grad(
+        loss_xla, argnums=(0, 1, 2))(q, x, w)
+    np.testing.assert_allclose(float(val), float(ref_val), rtol=1e-5)
+    for got, ref in zip(grads, ref_grads):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-5)
+
+
 def test_attn_impl_auto_gate_mesh_shapes():
     """auto enables kernels on data-parallel-only meshes and disables them
     when a tensor-parallel axis is active (qkv is head-sharded there);
