@@ -132,34 +132,47 @@ def _ep_fwd(q_scaled, tokens, v, interpret):
 
 
 def _ep_bwd(interpret, res, g):
-    """Flash-style backward: recompute attention in XLA (tiny vs the
-    backbone), then the softmax VJP — grads for queries, tokens and values."""
+    """Flash-style backward: recompute the (tiny) attention and take the
+    VJP of the MXU-shaped masked-full composition — hand-written per-slice
+    einsums here lowered to single-row matvecs (see ep_pool_attend_xla)."""
     q_scaled, tokens, v = res
-    logits = jnp.einsum("qc,bnc->bqn", q_scaled, tokens,
-                        preferred_element_type=jnp.float32)
-    a = jax.nn.softmax(logits, axis=-1)  # (B, Q, N)
-    g32 = g.astype(jnp.float32)
-    v32 = v.astype(jnp.float32)
-    dv = jnp.einsum("bqn,bqc->bnqc", a, g32).astype(v.dtype)
-    da = jnp.einsum("bqc,bnqc->bqn", g32, v32)
-    dl = a * (da - (a * da).sum(axis=-1, keepdims=True))
-    dq = jnp.einsum("bqn,bnc->qc", dl,
-                    tokens.astype(jnp.float32)).astype(q_scaled.dtype)
-    dx = jnp.einsum("bqn,qc->bnc", dl,
-                    q_scaled.astype(jnp.float32)).astype(tokens.dtype)
-    return dq, dx, dv
+    _, vjp = jax.vjp(ep_pool_attend_xla, q_scaled, tokens, v)
+    return vjp(g.astype(jnp.result_type(v)))
 
 
 ep_pool_attend.defvjp(_ep_fwd, _ep_bwd)
 
 
+def block_mask(Q: int, cq: int) -> jnp.ndarray:
+    """(Q, Q*cq) block-diagonal selector: row q is 1 on its cq-slice."""
+    m = np.zeros((Q, Q * cq), dtype=np.float32)
+    for i in range(Q):
+        m[i, i * cq:(i + 1) * cq] = 1.0
+    return jnp.asarray(m)
+
+
 def ep_pool_attend_xla(q_scaled, tokens, v):
-    """Reference XLA path (same math) for testing/fallback."""
+    """XLA path (testing/fallback/backward) — same math as the kernel.
+
+    The per-query-slice contraction is deliberately expressed as ONE
+    batched (B,Q,N)@(B,N,Q*cq) matmul + a block-diagonal mask-reduce
+    (the kernel's trick, here in XLA): the direct einsum
+    ``bqn,bnqc->bqc`` maps q to a batch dim on both operands, i.e.
+    B*Q single-row matvecs at 1/128 MXU row utilization — measured
+    2.3 ms/step of pure forward waste at bs512/ViT-B (r4,
+    scripts/cached_head_profile.py). The masked form computes Q x more
+    MACs (still only ~5 GF) on full tiles and wins ~2x end-to-end.
+    Every output element equals exactly one element of the full
+    product, so the result is numerically identical."""
+    B, N, Q, cq = v.shape
     logits = jnp.einsum("qc,bnc->bqn", q_scaled, tokens,
                         preferred_element_type=jnp.float32)
     attn = jax.nn.softmax(logits, axis=-1)
-    return jnp.einsum("bqn,bnqc->bqc", attn.astype(v.dtype), v,
-                      preferred_element_type=jnp.float32).astype(v.dtype)
+    full = jnp.einsum("bqn,bnm->bqm", attn.astype(v.dtype),
+                      v.reshape(B, N, Q * cq),
+                      preferred_element_type=jnp.float32)  # (B, Q, Q*cq)
+    out = (full * block_mask(Q, cq)).sum(axis=1)  # (B, Q*cq)
+    return out.reshape(B, Q, cq).astype(v.dtype)
 
 
 # ---------------------------------------------------------------------------
