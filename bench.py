@@ -109,6 +109,12 @@ def main():
         # (EP_TPU_BENCH_SCAN=0) skips the per-layer stacked-weight
         # dynamic-slice (~1.5 ms/block at ViT-H)
         scan_blocks=os.environ.get("EP_TPU_BENCH_SCAN", "1") != "0",
+        # EP_TPU_BENCH_FINETUNE=1: full fine-tuning mode (--finetuning) —
+        # backbone inside the autodiff graph, rematerialized scan for the
+        # backward's memory (--remat_blocks). Headline metric is renamed so
+        # the two modes can't be confused.
+        finetuning=os.environ.get("EP_TPU_BENCH_FINETUNE", "0") == "1",
+        remat_blocks=os.environ.get("EP_TPU_BENCH_FINETUNE", "0") == "1",
     )
     backbone_cfg = build_backbone_config(cfg)
     model = ProbeModel(backbone_cfg, cfg)
@@ -129,8 +135,9 @@ def main():
             jax.random.key(0), jnp.zeros((2, 224, 224, 3), jnp.float32),
             train=True)
     tx = build_optimizer("lars", 0.0)
-    state = create_train_state(variables, tx, finetuning=False)
-    if cfg.amp == "bfloat16":
+    state = create_train_state(variables, tx, finetuning=cfg.finetuning)
+    if cfg.amp == "bfloat16" and not cfg.finetuning:
+        # finetuning keeps f32 master weights; probing stores frozen bf16
         from ep_tpu.train.state import cast_frozen
         state = cast_frozen(state, jnp.bfloat16)
     state = jax.device_put(state, jax.devices()[0])
@@ -148,6 +155,7 @@ def main():
         train_step,
         f"bench:{cfg.model}:{cfg.cls_features}:{cfg.attn_impl}"
         f":int8={int(cfg.int8_mlp)}:scan={int(cfg.scan_blocks)}"
+        f":ft={int(cfg.finetuning)}"
         f":variant={os.environ.get('EP_TPU_ATTN_VARIANT', '')}",
         os.environ.get("EP_TPU_AOT_CACHE", ".aot_cache"))
     dimages, dlabels = shard_batch((images, labels), mesh)
@@ -189,11 +197,19 @@ def main():
     img_s_chip = cfg.batch_size / step_t / n_dev
     prec = "bf16+int8mlp" if cfg.int8_mlp else "bf16"
     flops = vit_flops(backbone_cfg)
+    if cfg.finetuning:
+        # full fine-tuning steps cost ~3x the forward (fwd + 2x-fwd bwd);
+        # remat recompute is NOT counted as useful FLOPs (standard MFU
+        # convention). The reference under --finetuning pays the same 3x,
+        # so its derived baseline scales down identically.
+        flops = 3.0 * flops
     ref = ref_baseline_img_s(flops)
     achieved_tflops = img_s_chip * flops / 1e12
+    mode = ("full-finetune" if cfg.finetuning else
+            f"frozen {cfg.model} + EP32 head")
     result = {
-        "metric": f"probe-train images/sec/chip (frozen {cfg.model} + EP32 "
-                  f"head, {prec}, bs{BATCH}, pipelined)",
+        "metric": (f"{'finetune' if cfg.finetuning else 'probe'}-train "
+                   f"images/sec/chip ({mode}, {prec}, bs{BATCH}, pipelined)"),
         "value": round(img_s_chip, 1),
         "unit": "images/sec/chip",
         # vs the DERIVED central baseline; conservative/optimistic bound it
@@ -203,13 +219,17 @@ def main():
         "vs_baseline_conservative": round(img_s_chip / ref["high"], 3),
         "vs_baseline_optimistic": round(img_s_chip / ref["low"], 3),
         "ref_baseline_img_s": {k: round(v, 0) for k, v in ref.items()},
-        "fwd_flops_per_img_g": round(flops / 1e9, 2),
+        "step_flops_per_img_g": round(flops / 1e9, 2),
         "achieved_tflops": round(achieved_tflops, 1),
         "mfu_vs_v5e_peak": round(achieved_tflops / V5E_PEAK_TFLOPS, 3),
         "mfu_vs_measured_ceiling": round(
             achieved_tflops / MEASURED_CEILING_TFLOPS, 3),
         "per_step_sync_img_s": round(cfg.batch_size / sync_t / n_dev, 1),
     }
+    if cfg.finetuning:
+        # cached-feature and int8 secondaries are probing-mode concepts
+        print(json.dumps(result))
+        return
     if os.environ.get("EP_TPU_BENCH_SKIP_CACHED", "0") != "1":
         cached = _bench_cached_mode(cfg, mesh)
         result["cached_mode_img_s"] = cached
