@@ -15,7 +15,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from .common import dense, normal
+from .common import dense, normal, pooled_mha
 
 
 class AIMAttentionPooling(nn.Module):
@@ -45,19 +45,7 @@ class AIMAttentionPooling(nn.Module):
         k = dense(C, use_bias=self.qkv_bias, dtype=self.dtype, name="k")(x)
         v = dense(C, use_bias=self.qkv_bias, dtype=self.dtype, name="v")(x)
 
-        q = q.reshape(B, self.num_queries, H, C // H).transpose(0, 2, 1, 3)
-        k = k.reshape(B, N, H, C // H).transpose(0, 2, 1, 3)
-        v = v.reshape(B, N, H, C // H).transpose(0, 2, 1, 3)
-
-        logits = jnp.einsum(
-            "bhqc,bhkc->bhqk", q * scale, k, preferred_element_type=jnp.float32
-        )
-        attn = jax.nn.softmax(logits, axis=-1)
-        out = jnp.einsum(
-            "bhqk,bhkc->bhqc", attn.astype(v.dtype), v,
-            preferred_element_type=jnp.float32,
-        ).astype(v.dtype)
-        out = out.transpose(0, 2, 1, 3).reshape(B, self.num_queries, C)
+        out, attn = pooled_mha(q, k, v, H, scale)
         out = out.mean(axis=1)
         if return_attn:
             return out, attn

@@ -15,7 +15,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from .common import dense
+from .common import dense, pooled_mha
 
 
 class CAEAttentiveBlock(nn.Module):
@@ -42,19 +42,7 @@ class CAEAttentiveBlock(nn.Module):
         q = dense(C, use_bias=False, dtype=self.dtype, name="q")(xq)
         k = dense(C, use_bias=False, dtype=self.dtype, name="k")(xk)
         v = dense(C, use_bias=False, dtype=self.dtype, name="v")(xv)
-        q = q.reshape(B, 1, H, head_dim).transpose(0, 2, 1, 3)
-        k = k.reshape(B, N, H, head_dim).transpose(0, 2, 1, 3)
-        v = v.reshape(B, N, H, head_dim).transpose(0, 2, 1, 3)
-
-        logits = jnp.einsum(
-            "bhqc,bhkc->bhqk", q * scale, k, preferred_element_type=jnp.float32
-        )
-        attn = jax.nn.softmax(logits, axis=-1)
-        out = jnp.einsum(
-            "bhqk,bhkc->bhqc", attn.astype(v.dtype), v,
-            preferred_element_type=jnp.float32,
-        ).astype(v.dtype)
-        out = out.transpose(0, 2, 1, 3).reshape(B, 1, C)
+        out, attn = pooled_mha(q, k, v, H, scale)
         out = dense(C, dtype=self.dtype, fan_in=C, name="proj")(out)
         pooled = out[:, 0]
         if return_attn:

@@ -15,7 +15,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from .common import dense, trunc_normal
+from .common import dense, pooled_mha, trunc_normal
 
 
 class _ClassAttention(nn.Module):
@@ -36,18 +36,7 @@ class _ClassAttention(nn.Module):
                   name="k")(u)
         v = dense(C, use_bias=self.qkv_bias, dtype=self.dtype, fan_in=C,
                   name="v")(u)
-        q = q.reshape(B, 1, H, head_dim).transpose(0, 2, 1, 3)
-        k = k.reshape(B, T, H, head_dim).transpose(0, 2, 1, 3)
-        v = v.reshape(B, T, H, head_dim).transpose(0, 2, 1, 3)
-        logits = jnp.einsum(
-            "bhqc,bhkc->bhqk", q * scale, k, preferred_element_type=jnp.float32
-        )
-        attn = jax.nn.softmax(logits, axis=-1)
-        out = jnp.einsum(
-            "bhqk,bhkc->bhqc", attn.astype(v.dtype), v,
-            preferred_element_type=jnp.float32,
-        ).astype(v.dtype)
-        out = out.transpose(0, 2, 1, 3).reshape(B, 1, C)
+        out, _ = pooled_mha(q, k, v, H, scale)
         return dense(C, dtype=self.dtype, fan_in=C, name="proj")(out)
 
 

@@ -22,7 +22,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from .common import dense, trunc_normal
+from .common import dense, pooled_mha, trunc_normal
 
 
 class CLIPAttentionPool2d(nn.Module):
@@ -93,19 +93,9 @@ class SigLIPAttentionPool(nn.Module):
                   name="q")(jnp.broadcast_to(latent, (B, L, C)))
         kv = dense(2 * C, use_bias=self.qkv_bias, dtype=self.dtype, fan_in=C,
                    name="kv")(x)
-        q = q.reshape(B, L, H, head_dim).transpose(0, 2, 1, 3)
-        kv = kv.reshape(B, N, 2, H, head_dim).transpose(2, 0, 3, 1, 4)
-        k, v = kv[0], kv[1]
-
-        logits = jnp.einsum(
-            "bhqc,bhkc->bhqk", q * scale, k, preferred_element_type=jnp.float32
-        )
-        attn = jax.nn.softmax(logits, axis=-1)
-        out = jnp.einsum(
-            "bhqk,bhkc->bhqc", attn.astype(v.dtype), v,
-            preferred_element_type=jnp.float32,
-        ).astype(v.dtype)
-        out = out.transpose(0, 2, 1, 3).reshape(B, L, C)
+        # fused kv (B, N, 2C) splits to k/v WITHOUT the head transpose
+        k, v = kv[:, :, :C], kv[:, :, C:]
+        out, attn = pooled_mha(q, k, v, H, scale)
         out = dense(C, dtype=self.dtype, fan_in=C, name="proj")(out)
 
         # residual MLP without pre-norm (norm_layer default None ⇒ Identity)

@@ -17,7 +17,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from .common import trunc_normal
+from .common import pooled_mha, trunc_normal
 
 
 def _rescaled_trunc_normal(std: float, scale: float):
@@ -58,19 +58,10 @@ class JEPAAttentivePooler(nn.Module):
                      kernel_init=tn, name="xattn_q")(q_in)
         kv = nn.Dense(2 * C, use_bias=self.qkv_bias, dtype=self.dtype,
                       kernel_init=tn, name="xattn_kv")(xn)
-        q = q.reshape(B, Qn, H, head_dim).transpose(0, 2, 1, 3)
-        kv = kv.reshape(B, N, 2, H, head_dim).transpose(2, 0, 3, 1, 4)
-        k, v = kv[0], kv[1]
-
-        logits = jnp.einsum(
-            "bhqc,bhkc->bhqk", q, k, preferred_element_type=jnp.float32
-        ) * scale
-        attn = jax.nn.softmax(logits, axis=-1)
-        y = jnp.einsum(
-            "bhqk,bhkc->bhqc", attn.astype(v.dtype), v,
-            preferred_element_type=jnp.float32,
-        ).astype(v.dtype)
-        y = y.transpose(0, 2, 1, 3).reshape(B, Qn, C)
+        # fused kv (B, N, 2C) splits to k/v WITHOUT the head transpose: the
+        # reshape (B,N,2,H,dh) puts the k/v split at the leading stride
+        k, v = kv[:, :, :C], kv[:, :, C:]
+        y, attn = pooled_mha(q, k, v, H, scale, scale_after=True)
         y = nn.Dense(C, dtype=self.dtype,
                      kernel_init=_rescaled_trunc_normal(self.init_std, sqrt2),
                      name="xattn_proj")(y)

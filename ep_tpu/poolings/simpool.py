@@ -15,7 +15,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from .common import dense
+from .common import dense, pooled_mha
 
 
 class SimPool(nn.Module):
@@ -37,18 +37,8 @@ class SimPool(nn.Module):
         k = dense(d, use_bias=self.qkv_bias, dtype=self.dtype, name="wk")(xn)
         v = xn
 
-        q = q.reshape(B, 1, H, d // H).transpose(0, 2, 1, 3)
-        k = k.reshape(B, N, H, d // H).transpose(0, 2, 1, 3)
-        v = v.reshape(B, N, H, d // H).transpose(0, 2, 1, 3)
-        logits = jnp.einsum(
-            "bhqc,bhkc->bhqk", q, k, preferred_element_type=jnp.float32
-        ) * scale
-        attn = jax.nn.softmax(logits, axis=-1)
-        out = jnp.einsum(
-            "bhqk,bhkc->bhqc", attn.astype(v.dtype), v,
-            preferred_element_type=jnp.float32,
-        ).astype(v.dtype)
-        out = out.transpose(0, 2, 1, 3).reshape(B, 1, d)[:, 0]
+        out, attn = pooled_mha(q, k, v, H, scale, scale_after=True)
+        out = out[:, 0]
         if return_attn:
             return out, attn
         return out
@@ -69,18 +59,8 @@ class SimPoolNoLinears(nn.Module):
         ln = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm_patches")
         q, k, v = ln(gap), ln(x), x
 
-        q = q.reshape(B, 1, H, d // H).transpose(0, 2, 1, 3)
-        k = k.reshape(B, N, H, d // H).transpose(0, 2, 1, 3)
-        v = v.reshape(B, N, H, d // H).transpose(0, 2, 1, 3)
-        logits = jnp.einsum(
-            "bhqc,bhkc->bhqk", q, k, preferred_element_type=jnp.float32
-        ) * scale
-        attn = jax.nn.softmax(logits, axis=-1)
-        out = jnp.einsum(
-            "bhqk,bhkc->bhqc", attn.astype(v.dtype), v,
-            preferred_element_type=jnp.float32,
-        ).astype(v.dtype)
-        out = out.transpose(0, 2, 1, 3).reshape(B, 1, d)[:, 0]
+        out, attn = pooled_mha(q, k, v, H, scale, scale_after=True)
+        out = out[:, 0]
         if return_attn:
             return out, attn
         return out

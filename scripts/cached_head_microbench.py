@@ -24,7 +24,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 import numpy as np
 
 
-def bench_variant(pool, batch, chain, reps):
+def bench_variant(pool, batch, chain, reps, head_name="ep"):
     import contextlib
 
     import jax
@@ -39,8 +39,8 @@ def bench_variant(pool, batch, chain, reps):
     from ep_tpu.train.state import create_train_state
     from ep_tpu.parallel.mesh import make_mesh, set_current_mesh
 
-    cfg = TrainConfig(model="vit_base_patch16", cls_features="ep",
-                      ep_queries=32, d_out=1, nb_classes=1000,
+    cfg = TrainConfig(model="vit_base_patch16", cls_features=head_name,
+                      ep_queries=32, d_out=1, num_heads=16, nb_classes=1000,
                       amp="bfloat16", batch_size=batch, eff_batch_size=batch,
                       epochs=90, warmup_epochs=10, blr=0.1,
                       pallas_pool=(pool == "fused"))
@@ -77,7 +77,7 @@ def bench_variant(pool, batch, chain, reps):
     for _ in range(2):
         state, m = train_step(state, feats, labels)
         float(jax.device_get(m["loss"]))
-    print(f"[{pool}] compile+warmup {time.perf_counter() - t0:.1f}s",
+    print(f"[{head_name}:{pool}] compile+warmup {time.perf_counter() - t0:.1f}s",
           flush=True)
     times = []
     for _ in range(reps):
@@ -87,7 +87,7 @@ def bench_variant(pool, batch, chain, reps):
         float(jax.device_get(m["loss"]))
         times.append((time.perf_counter() - t0) / chain)
     step = float(np.median(times))
-    print(f"[{pool}] median step {step * 1000:.2f} ms "
+    print(f"[{head_name}:{pool}] median step {step * 1000:.2f} ms "
           f"({batch / step:,.0f} img/s, chains of {chain})", flush=True)
     return step
 
@@ -95,12 +95,18 @@ def bench_variant(pool, batch, chain, reps):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--pool", default="both", choices=["fused", "xla", "both"])
+    ap.add_argument("--head", default="ep",
+                    help="any --cls_features value; non-ep heads ignore "
+                         "--pool fused (it is EP-kernel-specific)")
     ap.add_argument("--batch", type=int, default=512)
     ap.add_argument("--chain", type=int, default=32)
     ap.add_argument("--reps", type=int, default=3)
     args = ap.parse_args()
     variants = ["fused", "xla"] if args.pool == "both" else [args.pool]
-    results = {v: bench_variant(v, args.batch, args.chain, args.reps)
+    if args.head != "ep":
+        variants = ["xla"]
+    results = {v: bench_variant(v, args.batch, args.chain, args.reps,
+                                args.head)
                for v in variants}
     if len(results) == 2:
         f, x = results["fused"], results["xla"]
