@@ -24,7 +24,8 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 import numpy as np
 
 
-def bench_variant(pool, batch, chain, reps, head_name="ep"):
+def bench_variant(pool, batch, chain, reps, head_name="ep", tokens=0,
+                  model="vit_base_patch16"):
     import contextlib
 
     import jax
@@ -39,7 +40,7 @@ def bench_variant(pool, batch, chain, reps, head_name="ep"):
     from ep_tpu.train.state import create_train_state
     from ep_tpu.parallel.mesh import make_mesh, set_current_mesh
 
-    cfg = TrainConfig(model="vit_base_patch16", cls_features=head_name,
+    cfg = TrainConfig(model=model, cls_features=head_name,
                       ep_queries=32, d_out=1, num_heads=16, nb_classes=1000,
                       amp="bfloat16", batch_size=batch, eff_batch_size=batch,
                       epochs=90, warmup_epochs=10, blr=0.1,
@@ -49,7 +50,7 @@ def bench_variant(pool, batch, chain, reps, head_name="ep"):
     set_current_mesh(mesh)
     head = ProbeHead(cfg, backbone_cfg.embed_dim, backbone_cfg.num_patches,
                      dtype=backbone_cfg.dtype)
-    T = backbone_cfg.num_patches + 1
+    T = tokens or backbone_cfg.num_patches + 1
     rng = np.random.default_rng(1)
     feats = jnp.asarray(rng.normal(size=(batch, T, backbone_cfg.embed_dim))
                         .astype(np.float32), jnp.bfloat16)
@@ -98,6 +99,9 @@ def main():
     ap.add_argument("--head", default="ep",
                     help="any --cls_features value; non-ep heads ignore "
                          "--pool fused (it is EP-kernel-specific)")
+    ap.add_argument("--model", default="vit_base_patch16")
+    ap.add_argument("--tokens", type=int, default=0,
+                    help="cached token count (default: num_patches+1; grid heads need 196)")
     ap.add_argument("--batch", type=int, default=512)
     ap.add_argument("--chain", type=int, default=32)
     ap.add_argument("--reps", type=int, default=3)
@@ -106,7 +110,7 @@ def main():
     if args.head != "ep":
         variants = ["xla"]
     results = {v: bench_variant(v, args.batch, args.chain, args.reps,
-                                args.head)
+                                args.head, args.tokens, args.model)
                for v in variants}
     if len(results) == 2:
         f, x = results["fused"], results["xla"]
