@@ -40,3 +40,31 @@ def test_knn_matches_brute_force():
         assert abs(got5 - want5) < 1e-6, (k, got5, want5)
     # well-separated clusters ⇒ high accuracy
     assert got1 > 80.0
+
+
+def test_knn_multi_k_single_pass_matches_per_k():
+    """knn_classifier_multi votes per k from ONE top-max(k) device pass
+    (the CLI sweep path); must equal the per-k classifier exactly."""
+    from ep_tpu.train.engine import knn_classifier_multi
+
+    rng = np.random.default_rng(1)
+    C, D = 5, 12
+    centers = rng.normal(size=(C, D)) * 3
+    train_y = np.repeat(np.arange(C), 40)
+    test_y = np.repeat(np.arange(C), 6)
+    train_f = centers[train_y] + rng.normal(size=(len(train_y), D))
+    test_f = centers[test_y] + rng.normal(size=(len(test_y), D))
+    train_f /= np.linalg.norm(train_f, axis=1, keepdims=True)
+    test_f /= np.linalg.norm(test_f, axis=1, keepdims=True)
+
+    ks = [5, 10, 50]
+    multi = knn_classifier_multi(train_f, train_y, test_f, test_y, ks,
+                                 T=0.07, num_classes=C, num_chunks=4)
+    for k in ks:
+        single = knn_classifier(train_f, train_y, test_f, test_y, k,
+                                T=0.07, num_classes=C, num_chunks=4)
+        assert multi[k] == single, (k, multi[k], single)
+        brute = _brute_force_knn(train_f, train_y, test_f, test_y, k,
+                                 T=0.07, num_classes=C)
+        assert abs(multi[k][0] - brute[0]) < 1e-6
+        assert abs(multi[k][1] - brute[1]) < 1e-6
