@@ -87,12 +87,13 @@ def evaluate(eval_step, state, loader, mesh, cfg=None,
     sums = {"loss_sum": 0.0, "acc1_sum": 0.0, "acc5_sum": 0.0, "count": 0.0}
     targets, preds = [], []
 
-    for images, labels, valid in metric_logger.log_every(
-            iter(loader), 10, header, length=len(loader)):
-        host_labels, host_valid = labels, valid
-        images, labels, valid = shard_batch(
-            (_host_cast(images, cfg), labels, valid), mesh)
-        batch_sums, batch_preds = eval_step(state, images, labels, valid)
+    # one-batch-lag drain, like train_one_epoch: the per-batch float()
+    # sync otherwise costs the full dispatch RTT (~26 ms through the
+    # relay) per eval batch — ~25% of an eval epoch at bs512
+    pending = None
+
+    def drain(entry):
+        batch_sums, batch_preds, host_labels, host_valid = entry
         if return_targets_and_preds:
             keep = host_valid > 0
             targets.append(host_labels[keep])
@@ -106,6 +107,18 @@ def evaluate(eval_step, state, loader, mesh, cfg=None,
             acc1=float(batch_sums["acc1_sum"]) / n,
             acc5=float(batch_sums["acc5_sum"]) / n,
         )
+
+    for images, labels, valid in metric_logger.log_every(
+            iter(loader), 10, header, length=len(loader)):
+        host_labels, host_valid = labels, valid
+        images, labels, valid = shard_batch(
+            (_host_cast(images, cfg), labels, valid), mesh)
+        batch_sums, batch_preds = eval_step(state, images, labels, valid)
+        if pending is not None:
+            drain(pending)
+        pending = (batch_sums, batch_preds, host_labels, host_valid)
+    if pending is not None:
+        drain(pending)
 
     count = max(sums["count"], 1.0)
     stats = {
@@ -122,14 +135,29 @@ def evaluate(eval_step, state, loader, mesh, cfg=None,
 
 
 def extract_features(extract_step, state, loader, mesh):
-    """Pooled descriptors + targets over a loader (engine_finetune.py:168-213)."""
+    """Pooled descriptors + targets over a loader (engine_finetune.py:168-213).
+
+    One-batch-lag device_get so the next batch's forward is already in
+    flight while the previous features transfer (the per-batch sync costs
+    the full ~26 ms relay RTT otherwise)."""
     feats, targets = [], []
+    pending = None
+
+    def drain(entry):
+        f, labels, valid = entry
+        fa = np.asarray(jax.device_get(f))
+        keep = valid > 0
+        feats.append(fa[keep])
+        targets.append(labels[keep])
+
     for images, labels, valid in iter(loader):
         images = shard_batch(images, mesh)
-        f = np.asarray(jax.device_get(extract_step(state, images)))
-        keep = valid > 0
-        feats.append(f[keep])
-        targets.append(labels[keep])
+        f = extract_step(state, images)
+        if pending is not None:
+            drain(pending)
+        pending = (f, labels, valid)
+    if pending is not None:
+        drain(pending)
     return np.concatenate(feats), np.concatenate(targets)
 
 

@@ -43,9 +43,10 @@ def extract_split(backbone_apply, loader, mesh, cache_dir: str, name: str,
     memmap = None
     use_memmap = None
     n_written = 0
-    for images, labels, valid in iter(loader):
-        images = shard_batch(images, mesh)
-        fd = backbone_apply(images)
+
+    def consume(fd, labels, valid):
+        """Materialize one batch and append/write it."""
+        nonlocal memmap, use_memmap, n_written
         if multi:
             # every host contributed its local loader shard to the global
             # batch; gather the full batch (and host-side labels/masks) so
@@ -76,6 +77,23 @@ def extract_split(backbone_apply, loader, mesh, cache_dir: str, name: str,
         else:
             feats_list.append(f)
         n_written += len(f)
+
+    # one-batch-lag materialization (single-host): the next forward is
+    # already dispatched while the previous features transfer, instead of
+    # paying the ~26 ms relay RTT per batch. Multi-host consumes eagerly
+    # (process_allgather is a collective; deferring it buys nothing).
+    pending = None
+    for images, labels, valid in iter(loader):
+        images = shard_batch(images, mesh)
+        fd = backbone_apply(images)
+        if multi:
+            consume(fd, labels, valid)
+            continue
+        if pending is not None:
+            consume(*pending)
+        pending = (fd, labels, valid)
+    if pending is not None:
+        consume(*pending)
     labels = np.concatenate(labels_list)
     if memmap is not None:
         memmap.flush()
