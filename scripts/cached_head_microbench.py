@@ -14,7 +14,6 @@ Prints per-variant median pipelined step ms + img/s. Run on the real chip;
 nothing else may use the TPU concurrently (CLAUDE.md relay rules).
 """
 import argparse
-import functools
 import sys
 import time
 from pathlib import Path
