@@ -181,7 +181,9 @@ def main(cfg: TrainConfig) -> dict:
         def backbone_apply(images):
             return _bb_apply(bb_params, images)
 
-        print("[cache] extracting frozen features (train + val, one pass)")
+        K = max(1, cfg.cache_augs)
+        print(f"[cache] extracting frozen features (train x{K} aug "
+              f"draw{'s' if K > 1 else ''} + val)")
         # per-process sharding like build_loaders: every host feeds its own
         # slice of the dataset; extract_split allgathers the global batch
         ex_train = DataLoader(dataset_train, cfg.batch_size, transform_train,
@@ -189,11 +191,21 @@ def main(cfg: TrainConfig) -> dict:
                               num_workers=cfg.num_workers,
                               num_processes=jax.process_count(),
                               process_index=jax.process_index())
-        feats_tr, labels_tr = extract_split(
-            backbone_apply, ex_train, mesh, cfg.output_dir, "train")
+        # K epoch-seeded augmentation draws per image (--cache_augs): the
+        # loader iterates in dataset order (shuffle=False), so labels align
+        # across variants and only the crop rng changes with the epoch
+        variants = []
+        for k in range(K):
+            ex_train.set_epoch(k)
+            f_k, labels_tr = extract_split(
+                backbone_apply, ex_train, mesh, cfg.output_dir,
+                "train" if K == 1 else f"train_aug{k}")
+            variants.append(f_k)
+        feats_tr = variants if K > 1 else variants[0]
         feats_va, labels_va = extract_split(
             backbone_apply, loader_val, mesh, cfg.output_dir, "val")
-        print(f"[cache] train {feats_tr.shape} val {feats_va.shape}")
+        print(f"[cache] train {variants[0].shape}"
+              f"{f' x{K} augs' if K > 1 else ''} val {feats_va.shape}")
         loader_train = CachedFeatureLoader(feats_tr, labels_tr, cfg.batch_size,
                                            shuffle=True, drop_last=True,
                                            seed=cfg.seed)

@@ -134,6 +134,10 @@ class TrainConfig:
     mesh_data: int = -1  # -1 = all devices on the data axis
     mesh_model: int = 1  # tensor-parallel axis size for huge backbones
     cache_features: bool = False  # extract frozen features once, train on cache
+    cache_augs: int = 1  # augmentation draws cached per train image: K
+    # extraction passes (epoch-seeded crops), epochs cycle variants e % K —
+    # narrows --cache_features' fixed-augmentation protocol gap at K/90th
+    # of the reference's re-encoding cost
     aot_cache: str = ""  # directory for serialized compiled executables:
     # fresh processes reload the train/eval step in ~0.1s instead of paying
     # the multi-minute remote compile (runtime/aot_cache.py)
@@ -255,6 +259,7 @@ def get_args_parser() -> argparse.ArgumentParser:
     p.add_argument("--mesh_data", default=d.mesh_data, type=int)
     p.add_argument("--mesh_model", default=d.mesh_model, type=int)
     p.add_argument("--cache_features", action="store_true", default=False)
+    p.add_argument("--cache_augs", type=int, default=1)
     p.add_argument("--aot_cache", default=d.aot_cache, type=str,
                    help="dir for serialized compiled executables (reloads "
                         "in ~0.1s instead of recompiling in new processes)")

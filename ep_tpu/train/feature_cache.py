@@ -154,11 +154,17 @@ def make_head_steps(head, mesh, tx, lr_fn):
 
 class CachedFeatureLoader:
     """Batches over cached features with per-epoch shuffling; mirrors the
-    DataLoader protocol (set_epoch / __len__ / iteration with masks)."""
+    DataLoader protocol (set_epoch / __len__ / iteration with masks).
+
+    ``feats`` may be a LIST of per-augmentation variants (--cache_augs K:
+    K epoch-seeded crops of every image, extracted in dataset order so the
+    labels align across variants); epoch e trains on variant e % K, so
+    successive epochs see different crops like no-cache training does."""
 
     def __init__(self, feats, labels, batch_size: int, shuffle: bool,
                  drop_last: bool, seed: int = 0):
-        self.feats = feats
+        self.variants = list(feats) if isinstance(feats, (list, tuple)) \
+            else [feats]
         self.labels = labels.astype(np.int32)
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -177,10 +183,11 @@ class CachedFeatureLoader:
         n = len(self.labels)
         idx = (np.random.default_rng((self.seed, self.epoch)).permutation(n)
                if self.shuffle else np.arange(n))
+        feats = self.variants[self.epoch % len(self.variants)]
         bs = self.batch_size
         for b in range(len(self)):
             sel = idx[b * bs:(b + 1) * bs]
-            f = np.asarray(self.feats[sel], np.float32)
+            f = np.asarray(feats[sel], np.float32)
             l = self.labels[sel]
             valid = np.ones(len(sel), np.float32)
             if len(sel) < bs:

@@ -99,6 +99,35 @@ def test_feature_cache_mode(tmp_path):
     assert res["max_accuracy"] > 40.0
 
 
+def test_feature_cache_multi_aug(tmp_path):
+    """--cache_augs K: K epoch-seeded augmentation draws per image; epochs
+    cycle variants, and training still learns."""
+    res = main(_cfg(tmp_path, cache_features=True, cache_augs=2, epochs=4))
+    assert res["max_accuracy"] > 40.0
+
+
+def test_cached_loader_cycles_aug_variants():
+    from ep_tpu.train.feature_cache import CachedFeatureLoader
+
+    n, T, D = 8, 3, 4
+    labels = np.arange(n, dtype=np.int32)
+    v0 = np.zeros((n, T, D), np.float32)
+    v1 = np.ones((n, T, D), np.float32)
+    ld = CachedFeatureLoader([v0, v1], labels, batch_size=4, shuffle=False,
+                             drop_last=True)
+    for epoch, want in [(0, 0.0), (1, 1.0), (2, 0.0), (5, 1.0)]:
+        ld.set_epoch(epoch)
+        f, l, valid = next(iter(ld))
+        assert float(f.mean()) == want, (epoch, float(f.mean()))
+        np.testing.assert_array_equal(l, labels[:4])  # labels align
+    # single-array input keeps the old behavior
+    ld1 = CachedFeatureLoader(v1, labels, batch_size=4, shuffle=True,
+                              drop_last=True)
+    ld1.set_epoch(3)
+    f, _, _ = next(iter(ld1))
+    assert float(f.mean()) == 1.0
+
+
 def test_finetuning_mode(tmp_path):
     res = main(_cfg(tmp_path, finetuning=True, optimizer="sgd", blr=0.02,
                     epochs=2))
