@@ -77,6 +77,7 @@ class CaiTPooling(nn.Module):
                       name=f"{blk}_mlp_fc2")(m)
             cls = cls + g2.astype(cls.dtype) * m
 
-        out = jnp.concatenate([cls, x], axis=1)
-        out = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(out)
+        # reference norms [cls; x] then takes token 0 (other_pool.py:505-507);
+        # LayerNorm is per-token, so norming the cls row alone is identical
+        out = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(cls)
         return out[:, 0]

@@ -25,6 +25,23 @@ import jax.numpy as jnp
 from .common import dense, pooled_mha, trunc_normal
 
 
+class _QKVParams(nn.Module):
+    """Declare the fused qkv Dense's param tree (same names/inits) without
+    running the full (B,N,3D) projection — only token 0's output row is
+    ever consumed through the q path (see CLIPAttentionPool2d)."""
+
+    dim: int
+    use_bias: bool
+
+    @nn.compact
+    def __call__(self):
+        w = self.param("kernel", trunc_normal(self.dim ** -0.5),
+                       (self.dim, 3 * self.dim), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros, (3 * self.dim,),
+                       jnp.float32) if self.use_bias else None
+        return w, b
+
+
 class CLIPAttentionPool2d(nn.Module):
     in_features: int
     feat_size: int = 14
@@ -49,21 +66,26 @@ class CLIPAttentionPool2d(nn.Module):
         )
         x = x + pos[None].astype(x.dtype)
 
-        qkv = nn.Dense(
-            3 * D, use_bias=self.qkv_bias, dtype=self.dtype,
-            kernel_init=trunc_normal(D ** -0.5), name="qkv",
-        )(x)
-        qkv = qkv.reshape(B, N + 1, 3, H, head_dim).transpose(2, 0, 3, 1, 4)
-        q, k, v = qkv[0], qkv[1], qkv[2]
-        logits = jnp.einsum(
-            "bhqc,bhkc->bhqk", q, k, preferred_element_type=jnp.float32
-        ) * scale
-        attn = jax.nn.softmax(logits, axis=-1)
-        out = jnp.einsum(
-            "bhqk,bhkc->bhqc", attn.astype(v.dtype), v,
-            preferred_element_type=jnp.float32,
-        ).astype(v.dtype)
-        out = out.transpose(0, 2, 1, 3).reshape(B, N + 1, D)
+        # The pool is full (N+1)-token self-attention of which ONLY token
+        # 0's output is consumed (reference attention_pool2d.py:161-168
+        # computes all rows then takes [..., 0, :]; return_attn also reads
+        # only query row 0). Token-0 attention is independent of the other
+        # query rows, so: project k/v for every token but q for token 0
+        # alone (column-sliced matmuls on the SAME fused qkv weight —
+        # _QKVParams declares the identical "qkv" tree), then a
+        # single-query pooled_mha, then the output projection on that one
+        # row. Values and head-param gradients are exactly those of the
+        # full computation (discarded rows carry zero cotangent).
+        w, b = _QKVParams(D, self.qkv_bias, name="qkv")()
+        w = w.astype(x.dtype)
+        kv = x @ w[:, D:]
+        q0 = x[:, :1] @ w[:, :D]
+        if b is not None:
+            b = b.astype(x.dtype)
+            kv = kv + b[D:]
+            q0 = q0 + b[:D]
+        k, v = kv[:, :, :D], kv[:, :, D:]
+        out, attn = pooled_mha(q0, k, v, H, scale, scale_after=True)
         out = dense(D, dtype=self.dtype, fan_in=D, name="proj")(out)
         if return_attn:
             return out[:, 0], attn[:, :, 0, 1:]

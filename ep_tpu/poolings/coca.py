@@ -38,14 +38,37 @@ class CoCaCrossAttnPooling(nn.Module):
             "img_queries", normal(1.0), (self.num_img_queries, self.dim),
             jnp.float32,
         ).astype(self.dtype)
-        x = jnp.broadcast_to(queries[None], (B,) + queries.shape)
-        x = nn.LayerNorm(dtype=self.dtype, name="norm")(x)
-
-        q = dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
-        q = q.reshape(B, self.num_img_queries, H, Dh).transpose(0, 2, 1, 3)
+        norm = nn.LayerNorm(dtype=self.dtype, name="norm")
+        to_q = dense(inner, use_bias=False, dtype=self.dtype, name="to_q")
         kv = dense(2 * Dh, use_bias=False, dtype=self.dtype, name="to_kv")(context)
         k, v = jnp.split(kv, 2, axis=-1)  # (B, N, Dh) each — single shared head
 
+        if not return_attn:
+            # only query 0 is ever consumed (reference
+            # coca_pytorch.py:339-343 projects ALL 196 queries then takes
+            # [:, 0]); queries don't interact (pure cross-attention), so
+            # computing just query 0 is value- AND gradient-identical —
+            # the other rows' outputs carry zero cotangent either way.
+            # Full-path grads/params unchanged (LN/to_q see row 0 only,
+            # whose contribution is the only nonzero one).
+            x0 = jnp.broadcast_to(queries[None, :1], (B, 1, queries.shape[1]))
+            q = to_q(norm(x0)).reshape(B, H, Dh)
+            sim = jnp.einsum("bhd,bnd->bhn", q * scale, k,
+                             preferred_element_type=jnp.float32)
+            sim = sim - sim.max(axis=-1, keepdims=True)
+            attn = jax.nn.softmax(sim, axis=-1)
+            out = jnp.einsum("bhn,bnd->bhd", attn.astype(v.dtype), v,
+                             preferred_element_type=jnp.float32
+                             ).astype(v.dtype)
+            out = out.reshape(B, 1, inner)
+            out = dense(self.dim, use_bias=False, dtype=self.dtype,
+                        name="to_out")(out)
+            return out[:, 0]
+
+        x = jnp.broadcast_to(queries[None], (B,) + queries.shape)
+        x = norm(x)
+        q = to_q(x)
+        q = q.reshape(B, self.num_img_queries, H, Dh).transpose(0, 2, 1, 3)
         sim = jnp.einsum(
             "bhid,bjd->bhij", q * scale, k, preferred_element_type=jnp.float32
         )
@@ -57,7 +80,4 @@ class CoCaCrossAttnPooling(nn.Module):
         ).astype(v.dtype)
         out = out.transpose(0, 2, 1, 3).reshape(B, self.num_img_queries, inner)
         out = dense(self.dim, use_bias=False, dtype=self.dtype, name="to_out")(out)
-        pooled = out[:, 0]
-        if return_attn:
-            return pooled, attn
-        return pooled
+        return out[:, 0], attn
