@@ -89,6 +89,20 @@ def test_pool_output_shapes(rng, cls, kw, out_dim):
     assert bool(jnp.isfinite(out).all())
 
 
+def test_coca_fast_path_equals_full(rng):
+    """coca's default path computes ONLY query 0 (the consumed one);
+    return_attn keeps the full 196-query computation — the two must give
+    the identical pooled descriptor."""
+    mod = CoCaCrossAttnPooling(dim=D, num_img_queries=8, heads=2, dtype=F32)
+    x = _toks(rng)
+    vs = mod.init(rng, x)
+    fast = mod.apply(vs, x)
+    full, attn = mod.apply(vs, x, return_attn=True)
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(full),
+                               rtol=1e-6, atol=1e-6)
+    assert attn.shape[2] == 8  # full path still covers every query
+
+
 def test_clip_pool_shapes(rng):
     mod = CLIPAttentionPool2d(in_features=D, feat_size=4, dtype=F32)
     x = _toks(rng)  # N = 16 = 4*4
