@@ -32,10 +32,14 @@ class _SelfAttention1Head(nn.Module):
     def __call__(self, x):
         B, N, D = x.shape
         qkv = dense(3 * D, use_bias=False, dtype=self.dtype, name="qkv")(x)
-        qkv = qkv.reshape(B, N, 3, 1, D).transpose(2, 0, 3, 1, 4)
-        q, k, v = qkv[0], qkv[1], qkv[2]
-        out = mha(q, k, v, D ** -0.5)
-        out = out.transpose(0, 2, 1, 3).reshape(B, N, D)
+        # single head: the q/k/v split is a channel slice and the "head"
+        # axis an expand_dims — both zero-copy, where the generic
+        # (B,N,3,H,Dh) reshape+transpose materializes two full-tensor
+        # relayouts (the natural-layout lesson, PERFORMANCE.md)
+        q = qkv[:, None, :, :D]
+        k = qkv[:, None, :, D:2 * D]
+        v = qkv[:, None, :, 2 * D:]
+        out = mha(q, k, v, D ** -0.5)[:, 0]
         return dense(D, dtype=self.dtype, name="proj")(out)
 
 
