@@ -258,6 +258,9 @@ def _ep_proj_fwd_only(q_scaled, tokens, w, interpret=False):
     QC = w.shape[1]
     stripes = proj_plan(N, C, Q, QC, tokens.dtype.itemsize)
     if stripes == 0 and not interpret:
+        # trace-time print: fires once per shape, not per step
+        print(f"[ep_tpu] fused EP kernel VMEM plan rejects "
+              f"(N={N}, C={C}, Q={Q}, QC={QC}); using the XLA composition.")
         return ep_pool_proj_attend_xla(q_scaled, tokens, w)
     stripes = stripes or 1
     bb = BB

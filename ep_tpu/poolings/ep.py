@@ -25,6 +25,19 @@ import jax.numpy as jnp
 
 from .common import dense, normal, torch_linear_init
 
+_fused_fallthrough_warned = False
+
+
+def _warn_fused_fallthrough(reason: str) -> None:
+    """EP_TPU_EP_FUSED is opt-in; if it is set but the gate can't take the
+    fused path, say so once instead of silently running the XLA
+    composition (ADVICE r3)."""
+    global _fused_fallthrough_warned
+    if not _fused_fallthrough_warned:
+        _fused_fallthrough_warned = True
+        print(f"[ep_tpu] EP_TPU_EP_FUSED is set but the fused EP kernel is "
+              f"not taken ({reason}); running the XLA path.")
+
 
 class _VKernel(nn.Module):
     """Declare the v projection's param tree (same name/init as the
@@ -69,8 +82,15 @@ class EfficientProbing(nn.Module):
         use_kernel = (self.use_pallas and not return_attn
                       and not self.is_initializing() and k_ok)
         import os
-        if use_kernel and not self.qkv_bias \
-                and os.environ.get("EP_TPU_EP_FUSED"):
+        fused_requested = bool(os.environ.get("EP_TPU_EP_FUSED"))
+        if fused_requested and not self.is_initializing() \
+                and not (use_kernel and not self.qkv_bias):
+            _warn_fused_fallthrough(
+                "return_attn requested" if return_attn
+                else "qkv_bias=True" if self.qkv_bias
+                else "use_pallas=False" if not self.use_pallas
+                else "kernel mode disabled on this backend")
+        if use_kernel and not self.qkv_bias and fused_requested:
             # OPT-IN fused path (EP_TPU_EP_FUSED=1): the v projection runs
             # IN-kernel, neither v nor the probs ever hit HBM. MEASURED
             # SLOWER than the XLA composition at probe shapes (6.44 vs

@@ -89,7 +89,9 @@ def evaluate(eval_step, state, loader, mesh, cfg=None,
 
     # one-batch-lag drain, like train_one_epoch: the per-batch float()
     # sync otherwise costs the full dispatch RTT (~26 ms through the
-    # relay) per eval batch — ~25% of an eval epoch at bs512
+    # relay) per eval batch — ~25% of an eval epoch at bs512.
+    # Consequence: log_every's periodic prints show meters one batch
+    # behind (final stats below drain everything and are exact).
     pending = None
 
     def drain(entry):
@@ -176,6 +178,9 @@ def knn_classifier_multi(train_features, train_labels, test_features,
                          num_chunks: int = 500):
     """kNN for SEVERAL k values from one device pass.
 
+    Returns {} when ks is empty (e.g. a train split smaller than every
+    sweep k) instead of crashing on max(ks).
+
     The reference re-runs the full (test × train) similarity for every k
     in its sweep (main_linprobe.py:668-672 calls knn_classifier per k);
     here the device computes the top-max(k) neighbor list once — top_k's
@@ -183,6 +188,8 @@ def knn_classifier_multi(train_features, train_labels, test_features,
     remote compile each — and the per-k temperature-weighted vote runs on
     the host over that list. Identical math: the k-NN vote only reads the
     first k columns of the max(k)-sorted neighbor list."""
+    if not ks:
+        return {}
     # train features/labels travel as ARGUMENTS to the jitted fn: closing
     # over them would embed the full train matrix as an HLO constant and
     # balloon the (remote) compile payload — the same pitfall make_train_step
@@ -229,10 +236,15 @@ def knn_classifier_multi(train_features, train_labels, test_features,
                             for (s, e), (_, nb) in zip(spans, outs)])
     rows = np.arange(n_test)
     results = {}
+    # one reused f32 vote buffer across the k sweep: a fresh float64
+    # (n_test, num_classes) per k is ~400 MB × 7 at 50k×1000 on the
+    # single-core host; f32 keeps the exp-weighted vote well above the
+    # ranking noise floor (weights are O(e^{1/T}) apart)
+    probs = np.zeros((n_test, num_classes), np.float32)
     for k in ks:
         kk = min(k, k_max)
-        weights = np.exp(dists[:, :kk].astype(np.float64) / T)
-        probs = np.zeros((n_test, num_classes))
+        weights = np.exp(dists[:, :kk].astype(np.float32) / T)
+        probs.fill(0.0)
         np.add.at(probs, (rows[:, None], neigh[:, :kk]), weights)
         pred5 = np.argsort(-probs, axis=1)[:, :5]
         top1 = (pred5[:, 0] == test_labels).sum() * 100.0 / n_test
