@@ -241,6 +241,14 @@ def main():
         result["effective_90ep_img_s"] = round(eff, 1)
         result["vs_baseline_90ep"] = round(eff / ref["central"], 2)
         result["vs_baseline_90ep_conservative"] = round(eff / ref["high"], 2)
+    if (cfg.model.startswith("vit_base") and not cfg.int8_mlp
+            and os.environ.get("EP_TPU_BENCH_DEVICE_AUG", "1") != "0"):
+        # secondary: --device_aug step (u8 staged input + on-TPU
+        # RandomResizedCrop/flip/normalize inside the jit). Shows the
+        # device-side cost of moving the input pipeline off the host.
+        dca = _bench_device_aug(cfg, mesh, labels)
+        if dca:
+            result["device_aug_img_s"] = dca
     if (not cfg.int8_mlp and cfg.model.startswith("vit_base")
             and compile_s < 400):
         # skip the secondary when the main compile was already slow (cold
@@ -252,6 +260,66 @@ def main():
         if i8:
             result["int8_mlp_img_s"] = i8
     print(json.dumps(result))
+
+
+def _bench_device_aug(cfg, mesh, labels):
+    """--device_aug probe step: u8 (B,256,256,3) in, crop+flip+normalize on
+    device (data/device_aug.py), then the same frozen fwd + head + LARS."""
+    from ep_tpu.data.device_aug import DeviceAug
+    from ep_tpu.models.assembly import ProbeModel, build_backbone_config
+    from ep_tpu.parallel.mesh import shard_batch
+    from ep_tpu.runtime.aot_cache import maybe_wrap
+    from ep_tpu.train.lars import build_optimizer
+    from ep_tpu.train.schedule import make_lr_fn
+    from ep_tpu.train.state import cast_frozen, create_train_state
+    from ep_tpu.train.steps import make_train_step
+
+    import dataclasses
+    import os
+    cfg = dataclasses.replace(cfg, device_aug=True)
+    aug = DeviceAug.from_cfg(cfg)
+    model = ProbeModel(build_backbone_config(cfg), cfg)
+    rng = np.random.default_rng(2)
+    images = rng.integers(0, 256, size=(cfg.batch_size, aug.stage_size,
+                                        aug.stage_size, 3)).astype(np.uint8)
+    try:
+        cpu = jax.devices("cpu")[0]
+    except RuntimeError:
+        cpu = None
+    with jax.default_device(cpu) if cpu else contextlib.nullcontext():
+        variables = model.init(
+            jax.random.key(0), jnp.zeros((2, 224, 224, 3), jnp.float32),
+            train=True)
+    tx = build_optimizer("lars", 0.0)
+    state = create_train_state(variables, tx, finetuning=False)
+    if cfg.amp == "bfloat16":
+        state = cast_frozen(state, jnp.bfloat16)
+    state = jax.device_put(state, jax.devices()[0])
+    step = make_train_step(model, tx, make_lr_fn(cfg, 1000), mesh, aug)
+    step = maybe_wrap(step,
+                      f"bench:{cfg.model}:{cfg.cls_features}"
+                      f":{cfg.attn_impl}:scan={int(cfg.scan_blocks)}"
+                      f":devaug={aug.stage_size}",
+                      os.environ.get("EP_TPU_AOT_CACHE", ".aot_cache"))
+    di, dl = shard_batch((images, labels), mesh)
+    try:
+        for _ in range(2):
+            state, m = step(state, di, dl)
+            float(jax.device_get(m["loss"]))
+        K = 8
+        chain = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            for _ in range(K):
+                state, m = step(state, di, dl)
+            float(jax.device_get(m["loss"]))
+            chain.append((time.perf_counter() - t0) / K)
+        step_t = float(np.median(chain))
+        _log(f"device-aug median pipelined step {step_t * 1000:.1f} ms")
+        return round(cfg.batch_size / step_t / len(jax.devices()), 1)
+    except Exception as e:  # keep the headline bench robust
+        _log(f"device-aug secondary bench skipped: {e}")
+        return None
 
 
 def _bench_int8(cfg, mesh, images, labels):

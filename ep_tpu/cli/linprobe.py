@@ -66,8 +66,38 @@ def main(cfg: TrainConfig) -> dict:
             f"mesh axis ({data_axis} devices); pick a multiple of {data_axis}")
 
     # --- data ----------------------------------------------------------------
-    transform_train, transform_val = build_transforms(cfg)
+    device_aug = None
+    if cfg.device_aug:
+        if cfg.train_aug == "aimv2":
+            raise ValueError("--device_aug implements the default RRC+flip "
+                             "recipe only; --train_aug aimv2 (jitter + "
+                             "AutoAugment) needs the host pipeline")
+        if cfg.cache_features:
+            # cached mode encodes each image once (or K times) — the host
+            # aug cost is already amortized away, so device aug buys
+            # nothing there; keep the host transforms
+            print("| --device_aug is a no-op with --cache_features; "
+                  "using host transforms")
+            cfg = cfg.replace(device_aug=False)
+    if cfg.device_aug:
+        from ep_tpu.data.device_aug import DeviceAug, build_staging_transforms
+        device_aug = DeviceAug.from_cfg(cfg)
+        transform_train, transform_val = build_staging_transforms(cfg)
+        print(f"| device-side augmentation: stage {device_aug.stage_size} -> "
+              f"crop {device_aug.out_size} on the TPU (u8 host transfer)")
+    else:
+        transform_train, transform_val = build_transforms(cfg)
     dataset_train, dataset_val = build_datasets(cfg)
+    if cfg.device_aug and cfg.device_aug_cache:
+        # stage-once memmap cache: epochs ≥2 never re-decode (the staging
+        # resize itself is no cheaper than the host RRC — the win IS the
+        # cache; data/device_aug.py::StagedImageCache)
+        from ep_tpu.data.device_aug import IdentityTransform, StagedImageCache
+        dataset_train = StagedImageCache(
+            dataset_train, transform_train, cfg.device_aug_cache, "train")
+        dataset_val = StagedImageCache(
+            dataset_val, transform_val, cfg.device_aug_cache, "val")
+        transform_train = transform_val = IdentityTransform()
     print(dataset_train)
     print(dataset_val)
     loader_train, loader_val = build_loaders(
@@ -136,8 +166,8 @@ def main(cfg: TrainConfig) -> dict:
     state, start_epoch, _ = load_model(cfg, state)
 
     lr_fn = make_lr_fn(cfg, steps_per_epoch=max(len(loader_train), 1))
-    train_step = make_train_step(model, tx, lr_fn, mesh)
-    eval_step = make_eval_step(model, mesh)
+    train_step = make_train_step(model, tx, lr_fn, mesh, device_aug)
+    eval_step = make_eval_step(model, mesh, device_aug)
 
     if cfg.aot_cache:
         # serialized-executable cache: repeat runs of the same computation
@@ -218,7 +248,7 @@ def main(cfg: TrainConfig) -> dict:
 
     # --- kNN / eval-only modes -------------------------------------------------
     if cfg.knn_eval:
-        extract_step = make_extract_step(model, mesh)
+        extract_step = make_extract_step(model, mesh, device_aug)
         train_feats, train_labels = extract_features(
             extract_step, state, loader_train, mesh)
         test_feats, test_labels = extract_features(

@@ -138,6 +138,16 @@ class TrainConfig:
     # extraction passes (epoch-seeded crops), epochs cycle variants e % K —
     # narrows --cache_features' fixed-augmentation protocol gap at K/90th
     # of the reference's re-encoding cost
+    device_aug: bool = False  # run RandomResizedCrop/flip/normalize ON the
+    # TPU inside the jitted step; the host only decodes + stages a
+    # deterministic u8 resize (data/device_aug.py). Cuts the host input
+    # cost from ~11 cores/chip toward decode-only and halves H2D bytes.
+    device_aug_stage: int = 0  # staged square side; 0 = image_size*256/224
+    device_aug_cache: str = ""  # dir for the staged-u8 memmap cache:
+    # staging (decode + one fixed resize) is epoch-invariant, so epoch 1
+    # fills the cache and later epochs read ~150 kB/image instead of
+    # re-running the host pipeline — this is where --device_aug's
+    # host-cores-per-chip win comes from
     aot_cache: str = ""  # directory for serialized compiled executables:
     # fresh processes reload the train/eval step in ~0.1s instead of paying
     # the multi-minute remote compile (runtime/aot_cache.py)
@@ -260,6 +270,15 @@ def get_args_parser() -> argparse.ArgumentParser:
     p.add_argument("--mesh_model", default=d.mesh_model, type=int)
     p.add_argument("--cache_features", action="store_true", default=False)
     p.add_argument("--cache_augs", type=int, default=1)
+    p.add_argument("--device_aug", action="store_true", default=False,
+                   help="augment on the TPU inside the jitted step (host "
+                        "ships staged u8; data/device_aug.py)")
+    p.add_argument("--device_aug_stage", default=d.device_aug_stage, type=int,
+                   help="staging square side for --device_aug "
+                        "(0 = image_size*256/224)")
+    p.add_argument("--device_aug_cache", default=d.device_aug_cache, type=str,
+                   help="dir for the staged-u8 memmap cache (epoch 1 "
+                        "stages, later epochs are decode-free)")
     p.add_argument("--aot_cache", default=d.aot_cache, type=str,
                    help="dir for serialized compiled executables (reloads "
                         "in ~0.1s instead of recompiling in new processes)")

@@ -24,6 +24,8 @@ def _host_cast(images: np.ndarray, cfg) -> np.ndarray:
     """Cast images to bf16 on the host when the model computes in bf16 —
     halves host→device transfer bandwidth, which is the input-pipeline
     bottleneck on thin links."""
+    if images.dtype == np.uint8:
+        return images  # --device_aug staged batches ship as u8 (¼ of f32)
     if cfg is not None and cfg.amp in ("bfloat16", "float16"):
         import ml_dtypes
         return images.astype(ml_dtypes.bfloat16)

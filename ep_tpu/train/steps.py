@@ -44,14 +44,22 @@ def make_train_step(
     tx: optax.GradientTransformation,
     lr_fn: Callable[[jnp.ndarray], jnp.ndarray],
     mesh: Mesh,
+    device_aug=None,
 ):
-    """Returns train_step(state, images, labels) -> (state, metrics)."""
+    """Returns train_step(state, images, labels) -> (state, metrics).
+
+    With ``device_aug`` (data/device_aug.DeviceAug), images arrive as u8
+    staged batches and the random crop/flip/normalize runs here, inside
+    the jit — keyed by the state's step counter, so identical under
+    resume and at any process count."""
 
     def train_step(state: TrainState, images, labels):
         images = jax.lax.with_sharding_constraint(
             images, NamedSharding(mesh, P(DATA_AXIS)))
         labels = jax.lax.with_sharding_constraint(
             labels, NamedSharding(mesh, P(DATA_AXIS)))
+        if device_aug is not None:
+            images = device_aug.train_fn(state.step, images)
 
         def loss_fn(trainable):
             variables = {"params": {**state.frozen, **trainable}}
@@ -94,7 +102,7 @@ def make_train_step(
     return jitted
 
 
-def make_eval_step(model, mesh: Mesh):
+def make_eval_step(model, mesh: Mesh, device_aug=None):
     """eval_step(state, images, labels, valid) -> summed metrics.
 
     ``valid`` masks padding rows of the (static-shape) final batch; sums are
@@ -105,6 +113,8 @@ def make_eval_step(model, mesh: Mesh):
     def eval_step(state: TrainState, images, labels, valid):
         images = jax.lax.with_sharding_constraint(
             images, NamedSharding(mesh, P(DATA_AXIS)))
+        if device_aug is not None:
+            images = device_aug.eval_fn(images)
         variables = {"params": state.full_params()}
         if state.batch_stats:
             variables["batch_stats"] = state.batch_stats
@@ -123,12 +133,14 @@ def make_eval_step(model, mesh: Mesh):
     return jax.jit(eval_step)
 
 
-def make_extract_step(model, mesh: Mesh):
+def make_extract_step(model, mesh: Mesh, device_aug=None):
     """Pooled-descriptor extraction for kNN (engine_finetune.py:168-213)."""
 
     def extract_step(state: TrainState, images):
         images = jax.lax.with_sharding_constraint(
             images, NamedSharding(mesh, P(DATA_AXIS)))
+        if device_aug is not None:
+            images = device_aug.eval_fn(images)
         variables = {"params": state.full_params()}
         if state.batch_stats:
             variables["batch_stats"] = state.batch_stats

@@ -60,6 +60,36 @@ def main():
     if _native.available():
         print(f"native/PIL speedup: {native / pil:.2f}x")
 
+    # --device_aug host side: ONE deterministic staging resize to u8 — the
+    # random crop/flip/normalize move into the jitted step
+    from ep_tpu.data.device_aug import StagedImageCache, StageTrainTransform
+    st = StageTrainTransform(256)
+    run(st, frames[:20], np.random.default_rng(1))
+    stage = run(st, frames, np.random.default_rng(2))
+    print(f"--device_aug staging resize (u8 out):  {stage:,.0f} img/s/core")
+
+    # epoch ≥2 with --device_aug_cache: memmap reads only
+    import tempfile
+
+    class _DS:
+        def __len__(self):
+            return len(frames)
+
+        def __getitem__(self, i):
+            return frames[i], 0
+
+    with tempfile.TemporaryDirectory() as d:
+        cache = StagedImageCache(_DS(), st, d, "bench")
+        for i in range(len(frames)):  # epoch 1: fill
+            cache[i]
+        t0 = time.perf_counter()
+        reps = 10
+        for _ in range(reps):
+            for i in range(len(frames)):
+                cache[i]
+        cached = reps * len(frames) / (time.perf_counter() - t0)
+    print(f"--device_aug_cache epoch>=2 read:      {cached:,.0f} img/s/core")
+
 
 if __name__ == "__main__":
     main()
