@@ -115,6 +115,10 @@ def main():
         # the two modes can't be confused.
         finetuning=os.environ.get("EP_TPU_BENCH_FINETUNE", "0") == "1",
         remat_blocks=os.environ.get("EP_TPU_BENCH_FINETUNE", "0") == "1",
+        # selective remat (models/vit.py::_remat_policy) and bf16 momentum
+        # are finetune-mode knobs; both default to the r3-measured config
+        remat_policy=os.environ.get("EP_TPU_BENCH_REMAT_POLICY", "none"),
+        mu_bf16=os.environ.get("EP_TPU_BENCH_MU_BF16", "0") == "1",
     )
     backbone_cfg = build_backbone_config(cfg)
     model = ProbeModel(backbone_cfg, cfg)
@@ -134,7 +138,9 @@ def main():
         variables = model.init(
             jax.random.key(0), jnp.zeros((2, 224, 224, 3), jnp.float32),
             train=True)
-    tx = build_optimizer("lars", 0.0)
+    tx = build_optimizer("lars", 0.0,
+                         mu_dtype=jnp.bfloat16 if cfg.mu_bf16
+                         else jnp.float32)
     state = create_train_state(variables, tx, finetuning=cfg.finetuning)
     if cfg.amp == "bfloat16" and not cfg.finetuning:
         # finetuning keeps f32 master weights; probing stores frozen bf16
@@ -155,7 +161,8 @@ def main():
         train_step,
         f"bench:{cfg.model}:{cfg.cls_features}:{cfg.attn_impl}"
         f":int8={int(cfg.int8_mlp)}:scan={int(cfg.scan_blocks)}"
-        f":ft={int(cfg.finetuning)}"
+        f":ft={int(cfg.finetuning)}:rp={cfg.remat_policy}"
+        f":mu16={int(cfg.mu_bf16)}"
         f":variant={os.environ.get('EP_TPU_ATTN_VARIANT', '')}",
         os.environ.get("EP_TPU_AOT_CACHE", ".aot_cache"))
     dimages, dlabels = shard_batch((images, labels), mesh)

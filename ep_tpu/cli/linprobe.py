@@ -127,7 +127,9 @@ def main(cfg: TrainConfig) -> dict:
         from ep_tpu.convert.torch_vit import load_oracle
         variables = load_oracle(cfg, backbone_cfg, variables)
 
-    tx = build_optimizer(cfg.optimizer, cfg.weight_decay)
+    tx = build_optimizer(cfg.optimizer, cfg.weight_decay,
+                         mu_dtype=jnp.bfloat16 if cfg.mu_bf16
+                         else jnp.float32)
     if cfg.accum_iter > 1:
         # gradient accumulation (engine_finetune.py:72-77): grads average
         # over accum_iter microsteps, the parameter update fires at the

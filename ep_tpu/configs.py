@@ -171,6 +171,15 @@ class TrainConfig:
     remat_blocks: bool = False  # rematerialize blocks in the backward pass
     # (--finetuning memory: per-block residuals shrink to the activations
     # carry). Requires --scan_blocks; no effect on the frozen probing path.
+    remat_policy: str = "none"  # selective remat under --remat_blocks:
+    # none (recompute all) | attn_out (save the attention half's output;
+    # skips re-running the Pallas forward in the backward) | attn_fc1
+    # (also save the MLP fc1 output) | dots (save every weight-matmul
+    # output). Memory grows left to right; see models/vit.py.
+    mu_bf16: bool = False  # store the optimizer's momentum / first-moment
+    # state in bfloat16 (update math stays f32; train/lars.py). Halves the
+    # LARS/Adam mu buffer — ~1.3 GB on ViT-H full finetune, which unlocks
+    # bs256 on one 16 GB chip. The reference keeps implicit f32 (torch).
     debug_nans: bool = False  # jax_debug_nans: fail at the op producing NaN
     profile_dir: str = ""  # write a jax.profiler trace here when set
 
@@ -292,6 +301,13 @@ def get_args_parser() -> argparse.ArgumentParser:
     p.add_argument("--use_grain", action="store_true", default=False)
     p.add_argument("--scan_blocks", action="store_true", default=False)
     p.add_argument("--remat_blocks", action="store_true", default=False)
+    p.add_argument("--mu_bf16", action="store_true", default=False,
+                   help="bfloat16 optimizer momentum state (halves its HBM; "
+                        "update math stays f32)")
+    p.add_argument("--remat_policy", default=d.remat_policy, type=str,
+                   choices=["none", "attn_out", "attn_fc1", "dots"],
+                   help="selective remat under --remat_blocks (what the "
+                        "backward keeps instead of recomputing)")
     p.add_argument("--debug_nans", action="store_true", default=False)
     p.add_argument("--profile_dir", default="", type=str)
     return p

@@ -30,6 +30,7 @@ def build_backbone_config(cfg: TrainConfig) -> ViTConfig:
               attn_impl=getattr(cfg, "attn_impl", "xla"),
               scan_blocks=getattr(cfg, "scan_blocks", False),
               remat_blocks=getattr(cfg, "remat_blocks", False),
+              remat_policy=getattr(cfg, "remat_policy", "none"),
               int8_mlp=getattr(cfg, "int8_mlp", False))
     if cfg.simmim:
         return simmim_vit_base_patch16(**kw)
@@ -60,12 +61,14 @@ def build_backbone_config(cfg: TrainConfig) -> ViTConfig:
         from .wrappers import capi_config
         return capi_config(cfg.image_size, dtype).replace(
             attn_impl=kw["attn_impl"], scan_blocks=kw["scan_blocks"],
-            remat_blocks=kw["remat_blocks"])
+            remat_blocks=kw["remat_blocks"],
+            remat_policy=kw["remat_policy"])
     if name.startswith("dinov2"):
         from .wrappers import dinov2_config
         return dinov2_config(name, cfg.image_size, dtype).replace(
             attn_impl=kw["attn_impl"], scan_blocks=kw["scan_blocks"],
-            remat_blocks=kw["remat_blocks"])
+            remat_blocks=kw["remat_blocks"],
+            remat_policy=kw["remat_policy"])
     if name not in VIT_CONFIGS:
         raise ValueError(f"unknown model {name}")
     extra = {}

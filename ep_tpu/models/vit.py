@@ -31,6 +31,7 @@ from typing import Any, Optional, Tuple
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 import numpy as np
 
 from ep_tpu.ops.attention import attn_stats_from_probs, mha
@@ -94,6 +95,16 @@ class ViTConfig:
     # meaningful when gradients flow through the backbone; requires
     # scan_blocks (the unrolled path's static capture kwargs don't compose
     # with nn.remat).
+    remat_policy: str = "none"  # selective rematerialization under
+    # remat_blocks: which per-block tensors the backward may keep instead
+    # of recomputing. "none" = recompute everything (minimum memory);
+    # "attn_out" saves the attention half's output (skips re-running the
+    # Pallas attention/supercell forward in the recompute — its custom-VJP
+    # residuals are its own inputs, so saving the output DCEs the kernel
+    # out of the backward); "attn_fc1" additionally saves the MLP's fc1
+    # output (skips the fc1 matmul recompute; +4·B·T·D bf16 per block);
+    # "dots" = jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+    # (saves every weight-matmul output; largest footprint).
     scan_blocks: bool = False  # lax.scan over layers: one traced block body
     # (depth× smaller HLO, much faster compiles for deep ViTs); params live
     # stacked under 'blocks/block' instead of per-layer 'blocks_i'. The
@@ -164,6 +175,8 @@ class Mlp(nn.Module):
     @nn.compact
     def __call__(self, x):
         x = nn.Dense(self.hidden, dtype=self.dtype, name="fc1")(x)
+        # tag for remat_policy="attn_fc1" (no-op otherwise)
+        x = checkpoint_name(x, "mlp_fc1")
         if self.act == "quick_gelu":
             x = x * nn.sigmoid(1.702 * x)
         else:
@@ -191,6 +204,23 @@ class SwiGLUMlp(nn.Module):
         x1, x2 = jnp.split(x12, 2, axis=-1)
         x = nn.silu(x1) * x2
         return nn.Dense(self.out, dtype=self.dtype, name="w3")(x)
+
+
+def _remat_policy(name: str):
+    """Resolve ViTConfig.remat_policy to a jax.checkpoint policy (None =
+    recompute everything). Names refer to checkpoint_name tags placed in
+    Block/Mlp below."""
+    if name in ("none", ""):
+        return None
+    cp = jax.checkpoint_policies
+    if name == "dots":
+        return cp.dots_with_no_batch_dims_saveable
+    if name == "attn_out":
+        return cp.save_only_these_names("attn_out")
+    if name == "attn_fc1":
+        return cp.save_only_these_names("attn_out", "mlp_fc1")
+    raise ValueError(f"unknown remat_policy {name!r} "
+                     "(none | attn_out | attn_fc1 | dots)")
 
 
 def _pallas_attn_enabled(c) -> bool:
@@ -394,6 +424,10 @@ class Block(nn.Module):
                     c.norm_eps, k_interp),
                 (x.astype(c.dtype), qkv_k, qkv_b, g1, b1, proj_k, proj_b),
                 (True, False, False, False, False, False, False))
+            # remat_policy="attn_out": saving the supercell output lets the
+            # recompute pass skip re-running the Pallas forward — the
+            # custom VJP's residuals are the kernel's own inputs.
+            x = checkpoint_name(x, "attn_out")
             if c.int8_mlp and c.mlp_type == "gelu":
                 # fused int8 MLP half (opt-in): LN2 + per-token quant +
                 # int8 fc1 + tanh-gelu + requant + int8 fc2 + residual.
@@ -438,6 +472,7 @@ class Block(nn.Module):
         if c.init_values is not None:
             y = LayerScale(D, c.init_values, "_1", name="ls1")(y)
         x = x + y
+        x = checkpoint_name(x, "attn_out")
         h = nn.LayerNorm(epsilon=c.norm_eps, dtype=c.dtype, name="norm2")(x)
         if c.mlp_type == "swiglu":
             m = SwiGLUMlp(int(D * c.mlp_ratio), D, dtype=c.dtype, name="mlp")(h)
@@ -559,7 +594,8 @@ class VisionTransformer(nn.Module):
             # static_argnums=(3,): temperature reaches kernel dispatch as a
             # python float; rel_bias stays dynamic (None = empty pytree).
             body = (nn.remat(_BlockWrap, static_argnums=(3,),
-                             prevent_cse=False)
+                             prevent_cse=False,
+                             policy=_remat_policy(c.remat_policy))
                     if c.remat_blocks else _BlockWrap)
             ScanBlocks = nn.scan(
                 body,

@@ -299,23 +299,31 @@ def _fwd(qkv, num_heads, scale, temperature, interpret, block_b):
 
 
 def _bwd(num_heads, scale, temperature, interpret, block_b, qkv, g):
-    """XLA recompute backward; the probing path never reaches this (the
-    encoder sits under stop_gradient)."""
+    """XLA recompute backward (reached in --finetuning; the probing path
+    keeps the encoder under stop_gradient). All dots take the operands in
+    their native (bf16) dtype and accumulate in f32 — upcasting MXU
+    operands to f32 costs 8x matmul rate (PERFORMANCE.md); only the
+    softmax/elementwise algebra runs in f32."""
     B, T, D3 = qkv.shape
     D = D3 // 3
     Dh = D // num_heads
     q, k, v = _split_heads(qkv, num_heads)
     gh = g.reshape(B, T, num_heads, Dh).transpose(0, 2, 1, 3)
-    logits = jnp.einsum("bhqd,bhkd->bhqk", q.astype(jnp.float32) * scale,
-                        k.astype(jnp.float32)) / temperature
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                        preferred_element_type=jnp.float32) * (
+        scale / temperature)
     a = jax.nn.softmax(logits, axis=-1)
-    g32 = gh.astype(jnp.float32)
-    v32 = v.astype(jnp.float32)
-    dv = jnp.einsum("bhqk,bhqd->bhkd", a, g32)
-    da = jnp.einsum("bhqd,bhkd->bhqk", g32, v32)
-    dl = a * (da - (a * da).sum(axis=-1, keepdims=True)) / temperature
-    dq = jnp.einsum("bhqk,bhkd->bhqd", dl, k.astype(jnp.float32)) * scale
-    dk = jnp.einsum("bhqk,bhqd->bhkd", dl, q.astype(jnp.float32)) * scale
+    ab = a.astype(v.dtype)
+    dv = jnp.einsum("bhqk,bhqd->bhkd", ab, gh,
+                    preferred_element_type=jnp.float32)
+    da = jnp.einsum("bhqd,bhkd->bhqk", gh, v,
+                    preferred_element_type=jnp.float32)
+    dl = (a * (da - (a * da).sum(axis=-1, keepdims=True)) / temperature
+          ).astype(v.dtype)
+    dq = jnp.einsum("bhqk,bhkd->bhqd", dl, k,
+                    preferred_element_type=jnp.float32) * scale
+    dk = jnp.einsum("bhqk,bhqd->bhkd", dl, q,
+                    preferred_element_type=jnp.float32) * scale
     dqkv = jnp.stack([dq, dk, dv])  # (3, B, H, T, Dh)
     dqkv = dqkv.transpose(1, 3, 0, 2, 4).reshape(B, T, D3)
     return (dqkv.astype(qkv.dtype),)

@@ -26,10 +26,15 @@ class LarsState(NamedTuple):
 
 
 def scaled_lars(weight_decay: float = 0.0, momentum: float = 0.9,
-                trust_coefficient: float = 0.001) -> optax.GradientTransformation:
+                trust_coefficient: float = 0.001,
+                mu_dtype=jnp.float32) -> optax.GradientTransformation:
+    """mu_dtype=bfloat16 halves the momentum buffer's HBM (the update math
+    still runs in f32; only the carried state rounds) — with 632M-param
+    ViT-H full finetune this recovers ~1.3 GB and unlocks bs256 on a 16 GB
+    chip. The reference implicitly keeps f32 (torch) momentum."""
     def init_fn(params):
         return LarsState(mu=jax.tree_util.tree_map(
-            lambda p: jnp.zeros_like(p, dtype=jnp.float32), params))
+            lambda p: jnp.zeros_like(p, dtype=mu_dtype), params))
 
     def update_fn(updates, state, params):
         assert params is not None, "LARS requires params"
@@ -50,22 +55,27 @@ def scaled_lars(weight_decay: float = 0.0, momentum: float = 0.9,
                     one_,
                 )
                 dp = dp * q
-            return momentum * mu + dp
+            return momentum * mu.astype(jnp.float32) + dp
 
         new_mu = jax.tree_util.tree_map(one, updates, params, state.mu)
-        return new_mu, LarsState(mu=new_mu)
+        carried = jax.tree_util.tree_map(lambda m: m.astype(mu_dtype), new_mu)
+        return new_mu, LarsState(mu=carried)
 
     return optax.GradientTransformation(init_fn, update_fn)
 
 
-def build_optimizer(name: str, weight_decay: float) -> optax.GradientTransformation:
+def build_optimizer(name: str, weight_decay: float,
+                    mu_dtype=jnp.float32) -> optax.GradientTransformation:
     """lars | adamw | sgd, each emitting a raw update to be scaled by -lr(step)
-    (mirrors main_linprobe.py:625-630; defaults match the torch optimizers)."""
+    (mirrors main_linprobe.py:625-630; defaults match the torch optimizers).
+    mu_dtype: storage dtype of the first-moment/momentum state (bfloat16
+    halves it; see scaled_lars)."""
     if name == "lars":
-        return scaled_lars(weight_decay=weight_decay)
+        return scaled_lars(weight_decay=weight_decay, mu_dtype=mu_dtype)
     if name == "adamw":
         return optax.chain(
-            optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8),
+            optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8,
+                                mu_dtype=mu_dtype),
             optax.add_decayed_weights(weight_decay),
         )
     if name == "sgd":

@@ -89,3 +89,29 @@ def test_build_optimizer_variants():
         st = tx.init(p)
         upd, _ = tx.update({"w": jnp.ones((2, 2))}, st, p)
         assert jnp.isfinite(upd["w"]).all()
+
+
+def test_lars_bf16_momentum_tracks_f32():
+    """mu_dtype=bfloat16 stores the carried state rounded; the emitted raw
+    update stays f32 and must track the f32-state trajectory closely."""
+    import jax
+    import jax.numpy as jnp
+    params = {"w": jnp.asarray(np.random.default_rng(0).normal(
+        size=(8, 8)).astype(np.float32))}
+    tx32 = scaled_lars(weight_decay=1e-4)
+    tx16 = scaled_lars(weight_decay=1e-4, mu_dtype=jnp.bfloat16)
+    s32, s16 = tx32.init(params), tx16.init(params)
+    assert s16.mu["w"].dtype == jnp.bfloat16
+    assert s32.mu["w"].dtype == jnp.float32
+    p32 = p16 = params
+    for i in range(5):
+        g = {"w": jnp.asarray(np.random.default_rng(i + 1).normal(
+            size=(8, 8)).astype(np.float32))}
+        u32, s32 = tx32.update(g, s32, p32)
+        u16, s16 = tx16.update(g, s16, p16)
+        assert u16["w"].dtype == jnp.float32  # update math stays f32
+        p32 = jax.tree_util.tree_map(lambda p, u: p - 0.1 * u, p32, u32)
+        p16 = jax.tree_util.tree_map(lambda p, u: p - 0.1 * u, p16, u16)
+    err = float(jnp.abs(p32["w"] - p16["w"]).max()
+                / jnp.abs(p32["w"]).max())
+    assert err < 5e-3, err
