@@ -131,6 +131,12 @@ def _fwd_impl(qkv, num_heads, scale, temperature, interpret, block_b):
         est_g = (8 * 2 * T * 8 * Dh * qkv.dtype.itemsize
                  + 8 * T * t_pad * 4)
         if est_g > 13 * 1024 * 1024 and not interpret:
+            # long T: the head-split flash kernel beats XLA 1.52x at
+            # T=1025 (see _fwd_flash); XLA only when even one head's
+            # logits overflow VMEM
+            if _flash_fits(T, Dh, qkv.dtype.itemsize):
+                return _fwd_flash(qkv, num_heads, scale, temperature,
+                                  interpret)
             return _fwd_xla(qkv, num_heads, scale, temperature)
         import os
         if os.environ.get("EP_TPU_ATTN_VARIANT") == "rowtile":
@@ -144,6 +150,10 @@ def _fwd_impl(qkv, num_heads, scale, temperature, interpret, block_b):
     est = (2 * T * D3 * qkv.dtype.itemsize + 2 * T * D * qkv.dtype.itemsize
            + T * t_pad * 4)
     if est > 13 * 1024 * 1024 and not interpret:
+        # long T: the head-split flash kernel beats XLA 1.52x at T=1025
+        # (see _fwd_flash); XLA only when even one head overflows VMEM
+        if _flash_fits(T, Dh, qkv.dtype.itemsize):
+            return _fwd_flash(qkv, num_heads, scale, temperature, interpret)
         return _fwd_xla(qkv, num_heads, scale, temperature)
     out = pl.pallas_call(
         functools.partial(_kernel, H=num_heads, Dh=Dh, scale=scale,
@@ -268,6 +278,29 @@ def _fwd_head_group_rowtile(qkv, num_heads, scale, temperature, interpret,
         interpret=interpret,
     )(qkv4, qkv4, qkv4)
     return out.reshape(B, T, D)
+
+
+def _fwd_flash(qkv, num_heads, scale, temperature, interpret):
+    """Long-T route: split heads and run the head-group flash kernel
+    (ops/flash_attn_pallas.py), which adapts its heads-per-program down
+    until the (g, Tp, Tp) f32 logits fit VMEM. Measured on the real chip
+    at the long-T product shape (448px/patch-14 probing, T=1025, ViT-B
+    geometry, bs64): flash 11.90 ms vs XLA 18.05 ms per (B,T,3D)->(B,T,D)
+    call, 1.52x, mean rel err 2e-6 (scripts/flash_longT_bench.py, r4)."""
+    from ep_tpu.ops.flash_attn_pallas import flash_attention
+    B, T, D3 = qkv.shape
+    D = D3 // 3
+    q, k, v = _split_heads(qkv, num_heads)
+    out = flash_attention(q, k, v, scale, temperature, interpret)
+    return out.transpose(0, 2, 1, 3).reshape(B, T, D)
+
+
+def _flash_fits(T: int, Dh: int, itemsize: int) -> bool:
+    """Can the flash kernel stage even a single head (its smallest
+    program) within the scoped VMEM limit?"""
+    t_lane = ((T + 127) // 128) * 128
+    d_pad = ((Dh + 7) // 8) * 8
+    return T * t_lane * 4 + 4 * T * d_pad * itemsize <= 13 * 1024 * 1024
 
 
 def _fwd_xla(qkv, num_heads, scale, temperature):

@@ -1,12 +1,16 @@
 """Pallas attention on pre-split (B,H,T,Dh) tensors.
 
-STATUS (r3): a library kernel, not on the default path. The encoder
-routes through ops/attn_fused_pallas.py (natural qkv layout — measured
-faster at probe shapes because it avoids the head-split transpose this
-kernel's layout forces) and falls back to XLA attention for sequences
-whose per-image blocks overflow VMEM. This kernel remains available for
-manual experimentation at intermediate T where a head-group decomposition
-of split tensors could win; its parity is pinned by tests/test_ops.py.
+STATUS (r4): the LONG-T production path. The encoder routes through
+ops/attn_fused_pallas.py (natural qkv layout — measured faster at probe
+shapes because it avoids the head-split transpose this kernel's layout
+forces); when a per-image qkv block overflows VMEM (448px probing →
+T=1025), the dispatch head-splits and lands HERE (attn_fused_pallas::
+_fwd_flash) — measured 1.52x XLA at T=1025 on the real chip
+(scripts/flash_longT_bench.py: 11.90 vs 18.05 ms, rel err 2e-6). The
+head-group size adapts down until the (g, Tp, Tp) f32 logits fit the
+scoped VMEM limit; shapes where even one head overflows fall back to
+XLA (attn_fused_pallas::_flash_fits). Parity: tests/test_ops.py +
+scripts/tpu_kernel_gate.py::gate_flash_longT.
 
 At probe sequence lengths (T = 197–257 tokens) a full flash decomposition is
 unnecessary — K/V for one (batch, head-group) fit comfortably in VMEM — but
@@ -90,7 +94,17 @@ def _flash_forward(q, k, v, scale, temperature, interpret,
         return x.reshape(B * H, T, d_pad)
 
     qp, kp, vp = prep(q), prep(k), prep(v)
+    # adapt the head-group size to VMEM: logits are (g, Tp, Tp) f32 and
+    # dominate at long T (T=1025: g=12 would stage ~57 MB of logits).
+    # Largest divisor of B*H whose logits + 4 head-stripes fit the scoped
+    # limit keeps MXU occupancy without overflowing.
+    t_lane = ((T + 127) // 128) * 128
     gsize = heads_per_prog
+    while gsize > 1 and (
+            (B * H) % gsize != 0
+            or gsize * T * t_lane * 4
+            + 4 * gsize * T * d_pad * q.dtype.itemsize > 13 * 1024 * 1024):
+        gsize -= 1
     grid = (B * H // gsize,) if (B * H) % gsize == 0 else (B * H,)
     g = gsize if (B * H) % gsize == 0 else 1
 

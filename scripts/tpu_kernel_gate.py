@@ -71,6 +71,21 @@ def gate_fused_attention(model):
     _check(f"attn_fused[{variant}] {model}", out, ref, 5e-3, 1e-1)
 
 
+def gate_flash_longT():
+    """Long-T dispatch: attention_qkv_fused at T=1025 (448px/patch-14
+    probing) must route to the head-split flash kernel (r4 measurement:
+    1.52x XLA; scripts/flash_longT_bench.py) and agree with XLA."""
+    from ep_tpu.ops.attn_fused_pallas import (_flash_fits, _fwd_xla,
+                                              attention_qkv_fused)
+    T, D, H = 1025, 768, 12
+    assert _flash_fits(T, D // H, 2), "gate shape should take the flash path"
+    qkv = _rng(8, T, 3 * D, seed=5)
+    scale = (D // H) ** -0.5
+    out = attention_qkv_fused(qkv, H, scale)
+    ref = _fwd_xla(qkv, H, scale, 1.0)
+    _check("attn_flash[long-T 1025]", out, ref, 5e-3, 1e-1)
+
+
 def gate_supercell(model):
     """attn_supercell: LN1+qkv+attention+proj+residual in one kernel."""
     from ep_tpu.ops.attn_block_pallas import _ref_forward, attn_supercell
@@ -173,12 +188,14 @@ def main():
     if args.quick:
         gate_fused_attention("vit_b")
         gate_fused_attention("vit_h")
+        gate_flash_longT()
         gate_int8_mlp("vit_b")
         gate_ep_pool()
         gate_ep_pool_fused()
     else:
         for m in ("vit_b", "vit_l", "vit_h"):
             gate_fused_attention(m)
+        gate_flash_longT()
         for m in ("vit_b", "vit_l", "vit_h"):
             gate_supercell(m)
         for m in ("vit_b", "vit_l", "vit_h"):

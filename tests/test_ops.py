@@ -112,6 +112,25 @@ def test_ep_module_fused_path_matches_dense(rng):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
 
 
+def test_flash_longT_route_matches_xla_interpret(rng):
+    """The long-T wiring (_fwd_flash) inside attention_qkv_fused's
+    dispatch: same values as the XLA fallback it replaces, and the
+    VMEM-fit predicate routes the real product shapes correctly."""
+    from ep_tpu.ops.attn_fused_pallas import (_flash_fits, _fwd_flash,
+                                              _fwd_xla)
+    B, T, H, Dh = 2, 70, 4, 16
+    qkv = jax.random.normal(rng, (B, T, 3 * H * Dh))
+    scale = Dh ** -0.5
+    ref = _fwd_xla(qkv, H, scale, 1.0)
+    out = _fwd_flash(qkv, H, scale, 1.0, True)  # interpret on CPU
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
+    # 448px/patch-14 probing (T=1025, ViT-B/H geometry) takes flash ...
+    assert _flash_fits(1025, 64, 2)
+    assert _flash_fits(1025, 80, 2)
+    # ... and T where even one head's f32 logits overflow VMEM stays XLA
+    assert not _flash_fits(2048, 64, 2)
+
+
 def test_flash_attention_matches_mha_interpret(rng):
     from ep_tpu.ops.flash_attn_pallas import flash_attention
     B, H, T, Dh = 2, 4, 37, 16  # unaligned T/Dh exercise the padding
@@ -255,16 +274,18 @@ def test_attention_qkv_fused_head_group_path(rng, T):
 
 
 def test_attention_qkv_fused_long_t_xla_fallback(rng):
-    """T long enough to overflow the per-image VMEM block (448px probing
-    -> T=1025) must route to the XLA contraction — even off-TPU with
-    interpret=False, since the fallback never reaches pallas."""
+    """T long enough that even ONE head's f32 logits overflow scoped VMEM
+    (T=2048: 2048x2048x4 = 16.8 MB > 13) must route to the XLA
+    contraction — even off-TPU with interpret=False, since the fallback
+    never reaches pallas. (Intermediate long T like 1025 routes to the
+    head-split flash kernel instead — test_flash_longT_route_* above.)"""
     import jax
     import jax.numpy as jnp
     import numpy as np
     from ep_tpu.ops.attention import mha
     from ep_tpu.ops.attn_fused_pallas import attention_qkv_fused
 
-    B, T, H, Dh = 1, 1100, 12, 64
+    B, T, H, Dh = 1, 2048, 12, 64
     D = H * Dh
     scale = Dh ** -0.5
     qkv = jax.random.normal(rng, (B, T, 3 * D), jnp.float32)
