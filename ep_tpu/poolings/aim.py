@@ -14,6 +14,7 @@ from typing import Any
 import flax.linen as nn
 import jax.numpy as jnp
 
+from .batchnorm import TorchBatchNorm
 from .common import dense, normal, pooled_mha
 
 
@@ -32,7 +33,7 @@ class AIMAttentionPooling(nn.Module):
         scale = (C // H) ** -0.5
 
         # BatchNorm over channels, stats over (batch, tokens)
-        x = nn.BatchNorm(
+        x = TorchBatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-6,
             use_bias=False, use_scale=False, dtype=self.dtype, name="bn",
         )(x)

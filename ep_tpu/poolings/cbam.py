@@ -16,6 +16,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from .batchnorm import TorchBatchNorm
 from .common import tokens_to_grid
 
 
@@ -52,8 +53,9 @@ class CbamPooling(nn.Module):
         k = self.spatial_kernel_size
         sp = nn.Conv(1, (k, k), padding="SAME", use_bias=False,
                      dtype=self.dtype, name="spatial_conv")(sp)
-        sp = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                          epsilon=1e-5, dtype=self.dtype, name="spatial_bn")(sp)
+        sp = TorchBatchNorm(use_running_average=not train, momentum=0.9,
+                            epsilon=1e-5, dtype=self.dtype,
+                            name="spatial_bn")(sp)
         gate = jax.nn.sigmoid(sp)
         g = g * gate
 

@@ -16,6 +16,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from .batchnorm import TorchBatchNorm
 from .common import tokens_to_grid
 
 
@@ -39,8 +40,9 @@ class DOLGSpatialAttention(nn.Module):
         g = tokens_to_grid(x)  # (B, H, W, C)
         g = nn.Conv(self.s3_dim, (1, 1), dtype=self.dtype,
                     kernel_init=_resnet_conv_init, name="conv1")(g)
-        g = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=self.bn_eps, dtype=self.dtype, name="bn")(g)
+        g = TorchBatchNorm(use_running_average=not train, momentum=0.9,
+                           epsilon=self.bn_eps, dtype=self.dtype,
+                           name="bn")(g)
 
         fmap_norm = g / (
             jnp.linalg.norm(g.astype(jnp.float32), axis=-1, keepdims=True)

@@ -6,6 +6,9 @@ plain LP gets Sequential(BN, Linear) at :551). ``ProbeHead`` is the same
 composition as one flax module: pooled-descriptor BatchNorm runs on batch
 stats in training (global-batch stats under GSPMD — documented SyncBN-style
 difference from the reference's per-GPU stats) and running stats in eval.
+Running-statistic updates are torch-exact (Bessel-corrected running var,
+poolings/batchnorm.py) — flax's biased-var update drifted eval predictions
+in short runs (see tests/test_engine_parity.py).
 """
 from __future__ import annotations
 
@@ -16,6 +19,7 @@ import jax.numpy as jnp
 
 from ep_tpu.configs import TrainConfig
 from .abmilp import ABMILPHead
+from .batchnorm import TorchBatchNorm
 from .aim import AIMAttentionPooling
 from .cae import CAEAttentiveBlock
 from .cait import CaiTPooling
@@ -53,8 +57,14 @@ def build_pooling(cfg: TrainConfig, dim: int, num_patches: int,
     if name == "esimpool":
         return SimPoolNoLinears(dim=dim, num_heads=12, dtype=dtype, name="pool")
     if name == "clip":
-        # feat_size 16 for CAPI, else 14 (main_linprobe.py:458-462)
+        # feat_size 16 for CAPI, else 14 (main_linprobe.py:458-462). The
+        # reference hardcodes these and breaks on any backbone whose token
+        # grid differs (pos_embed has feat_size^2+1 rows and is added to
+        # N+1 tokens, attention_pool2d.py:158) — fall back to the actual
+        # grid so non-224px/16 backbones still run.
         feat_size = 16 if cfg.model == "capi_vitl14_in1k" else 14
+        if feat_size * feat_size != num_patches:
+            feat_size = int(round(num_patches ** 0.5))
         return CLIPAttentionPool2d(in_features=dim, feat_size=feat_size,
                                    dtype=dtype, name="pool")
     if name == "siglip":
@@ -127,8 +137,9 @@ class ProbeHead(nn.Module):
                 x, attn = out
             else:
                 x = out
-        # descriptor BatchNorm, no affine (main_linprobe.py:426 etc.)
-        x = nn.BatchNorm(
+        # descriptor BatchNorm, no affine (main_linprobe.py:426 etc.);
+        # torch-exact running stats (poolings/batchnorm.py)
+        x = TorchBatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-6,
             use_bias=False, use_scale=False, dtype=self.dtype, name="bn",
         )(x)

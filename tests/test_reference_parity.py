@@ -514,14 +514,10 @@ def test_head_training_trajectory_parity(ref):
     np.testing.assert_allclose(
         np.asarray(state.batch_stats["head"]["bn"]["mean"]),
         n(sd["1.running_mean"]), rtol=1e-4, atol=1e-5)
-    # running VAR: torch blends the Bessel-corrected (n/(n-1)) batch
-    # variance into the running stat while flax blends the biased one — a
-    # 1/(n-1) relative gap per update, ~0.02% at the reference's real
-    # batch sizes (n >= 4096) and irrelevant to accuracy parity. Assert
-    # the documented gap bound rather than hiding it with a loose rtol.
-    nb = Bb
-    bound = (1.0 / (nb - 1)) * 1.5  # momentum-summed updates stay under this
-    ours_var = np.asarray(state.batch_stats["head"]["bn"]["var"])
-    theirs_var = n(sd["1.running_var"])
-    rel = np.abs(ours_var - theirs_var) / np.abs(theirs_var)
-    assert rel.max() < bound, rel.max()
+    # running VAR: torch-exact since poolings/batchnorm.py (the Bessel-
+    # corrected n/(n-1) batch variance goes into the running stat, exactly
+    # like torch.nn.BatchNorm1d; flax's nn.BatchNorm blends the biased one,
+    # which drifted eval predictions in short runs — test_engine_parity).
+    np.testing.assert_allclose(
+        np.asarray(state.batch_stats["head"]["bn"]["var"]),
+        n(sd["1.running_var"]), rtol=1e-4, atol=1e-6)
