@@ -59,10 +59,25 @@ def _log(m):
 
 
 def make_task(alpha, seed=0):
-    """u8 staged images with a global prototype signal that survives
-    cropping (prototypes are full-field), plus i.i.d. pixel noise."""
+    """u8 staged images with a SMOOTH (low-frequency) prototype signal plus
+    i.i.d. pixel noise. Smoothness matters: white-noise prototypes are NOT
+    crop-stable — a random crop bicubic-resized from a noise pattern is an
+    almost uncorrelated pattern (measured: top-1 stuck ~11% across a 5x
+    alpha sweep), while a low-frequency pattern keeps its class structure
+    under any crop window/scale, so the probe can actually learn across
+    fresh crops."""
     rng = np.random.default_rng(seed)
-    protos = rng.normal(size=(C, STAGE, STAGE, 3)).astype("f")
+    coarse = rng.normal(size=(C, 6, 6, 3)).astype("f")
+    # bilinear-upsample the 6x6 grid to the stage size (separable)
+    up = np.zeros((C, STAGE, STAGE, 3), "f")
+    xs = np.linspace(0, 5, STAGE)
+    i0 = np.clip(xs.astype(int), 0, 4)
+    fr = (xs - i0).astype("f")
+    rows = (coarse[:, i0] * (1 - fr)[None, :, None, None]
+            + coarse[:, i0 + 1] * fr[None, :, None, None])
+    up = (rows[:, :, i0] * (1 - fr)[None, None, :, None]
+          + rows[:, :, i0 + 1] * fr[None, None, :, None])
+    protos = up
     protos /= np.linalg.norm(
         protos.reshape(C, -1), axis=1).reshape(C, 1, 1, 1)
     protos *= np.sqrt(protos[0].size)
@@ -91,6 +106,9 @@ def main():
     ap.add_argument("--out", default="CACHE_AUGS_STUDY.json")
     ap.add_argument("--probe_only", action="store_true",
                     help="run one fresh-arm seed to sanity-check ALPHA")
+    ap.add_argument("--probe_alphas", default="",
+                    help="comma list: fresh-arm seed-0 top-1 per alpha "
+                         "(one process, compiles amortized)")
     args = ap.parse_args()
 
     import jax
@@ -107,8 +125,6 @@ def main():
     from ep_tpu.data.transforms import IMAGENET_MEAN, IMAGENET_STD
     MEAN = tuple(np.asarray(IMAGENET_MEAN).tolist())
     STD = tuple(np.asarray(IMAGENET_STD).tolist())
-
-    (xtr_u8, ytr), (xva_u8, yva) = make_task(args.alpha)
 
     # ---------------- backbone + extraction (TPU) ----------------------
     bcfg = ViTConfig(img_size=IMG, patch_size=PATCH, embed_dim=768,
@@ -127,51 +143,55 @@ def main():
             "pos")
     params = jax.device_put(variables["params"])
 
+    # Relay discipline (hard-won; two failed versions of this script):
+    #   v1 pushed 160 x 12.6 MB u8 batches host->device — the relay
+    #      client leaks transfer buffers per push (43 GB RSS);
+    #   v2 shipped the images once but still issued 160 async extract
+    #      dispatches — the client holds each in-flight request's
+    #      serialized buffers too (23 GB RSS and ~1.7 s of client-side
+    #      serialization per call).
+    # So: ship each u8 split ONCE, and run the ENTIRE extraction as ONE
+    # dispatch that lax.maps over the crop keys on device.
     @jax.jit
-    def extract_train(params, u8_batch, crop_key_idx):
-        key = jax.random.fold_in(jax.random.key(0), crop_key_idx)
-        x = augment_train_batch(key, u8_batch, IMG, (0.08, 1.0),
-                                (3.0 / 4.0, 4.0 / 3.0), MEAN, STD,
-                                jnp.bfloat16, hflip=True)
+    def extract_all(params, u8_all, keys):
+        def one(ck):
+            key = jax.random.fold_in(jax.random.key(0), ck)
+            x = augment_train_batch(key, u8_all, IMG, (0.08, 1.0),
+                                    (3.0 / 4.0, 4.0 / 3.0), MEAN, STD,
+                                    jnp.bfloat16, hflip=True)
+            feats, _, _ = model.apply({"params": params}, x, "pos")
+            return feats.astype(jnp.bfloat16)
+        return jax.lax.map(one, keys)
+
+    @jax.jit
+    def extract_val(params, u8_all):
+        x = normalize_u8_batch(u8_all, MEAN, STD, jnp.bfloat16)
         feats, _, _ = model.apply({"params": params}, x, "pos")
         return feats.astype(jnp.bfloat16)
 
-    @jax.jit
-    def extract_val(params, u8_batch):
-        x = normalize_u8_batch(u8_batch, MEAN, STD, jnp.bfloat16)
-        feats, _, _ = model.apply({"params": params}, x, "pos")
-        return feats.astype(jnp.bfloat16)
+    def extract_for(alpha):
+        """Task + extraction for one alpha: (feats_stack, fva, yd, yvad).
+        Same avals regardless of alpha, so the jits compile once."""
+        (xtr_u8, ytr), (xva_u8, yva) = make_task(alpha)
+        t0 = time.time()
+        # crop-key layout: rows 0..15 = cached variants (keys 0..15),
+        # rows 16.. = fresh epochs (keys 1000+e)
+        crop_keys = list(range(N_VARIANTS)) + [FRESH_BASE + e
+                                               for e in range(EPOCHS)]
+        feats_stack = extract_all(params, jax.device_put(jnp.asarray(xtr_u8)),
+                                  jnp.asarray(crop_keys, jnp.int32))
+        feats_stack.block_until_ready()  # (S_TOTAL, N_TRAIN, N, D) bf16
+        # val: deterministic center crop 128 -> 112 on host (u8 slice)
+        off = (STAGE - IMG) // 2
+        xva_c = xva_u8[:, off:off + IMG, off:off + IMG, :]
+        fva = extract_val(params, jax.device_put(jnp.asarray(xva_c)))
+        fva.block_until_ready()
+        _log(f"alpha={alpha}: extraction done in {time.time() - t0:.0f}s; "
+             f"stack {tuple(feats_stack.shape)} bf16 on device")
+        return (feats_stack, fva, jax.device_put(jnp.asarray(ytr)),
+                jax.device_put(jnp.asarray(yva)))
 
-    # val: deterministic center crop 128 -> 112 on host (u8 slice)
-    off = (STAGE - IMG) // 2
-    xva_c = xva_u8[:, off:off + IMG, off:off + IMG, :]
-
-    _log(f"extracting {S_TOTAL} train sets + val "
-         f"({(S_TOTAL * N_TRAIN) // 1000}k encodes) ...")
-    t0 = time.time()
-    # crop-key layout: rows 0..15 = cached variants (keys 0..15),
-    # rows 16.. = fresh epochs (keys 1000+e)
-    crop_keys = list(range(N_VARIANTS)) + [FRESH_BASE + e
-                                           for e in range(EPOCHS)]
-    sets = []
-    for s, ck in enumerate(crop_keys):
-        chunks = []
-        for b in range(0, N_TRAIN, BS):
-            chunks.append(extract_train(params, jnp.asarray(
-                xtr_u8[b:b + BS]), jnp.int32(ck)))
-        sets.append(jnp.concatenate(chunks, axis=0))
-        if s == 0:
-            sets[0].block_until_ready()
-            _log(f"first set done (compile included) "
-                 f"{time.time() - t0:.0f}s")
-    feats_stack = jnp.stack(sets)  # (S_TOTAL, N_TRAIN, N, D) bf16, device
-    del sets
-    fva = jnp.concatenate([extract_val(params, jnp.asarray(xva_c[b:b + BS]))
-                           for b in range(0, N_VAL, BS)], axis=0)
-    fva.block_until_ready()
-    N, D = int(feats_stack.shape[2]), int(feats_stack.shape[3])
-    _log(f"extraction done in {time.time() - t0:.0f}s; stack "
-         f"{tuple(feats_stack.shape)} bf16 on device")
+    N, D = (IMG // PATCH) ** 2, 768
 
     # ---------------- EP32 head training (TPU, in-jit gather) ----------
     cfg = TrainConfig(cls_features="ep", ep_queries=32, d_out=1,
@@ -181,8 +201,6 @@ def main():
     head = ProbeHead(cfg, D, N, dtype=jnp.float32)
     tx = build_optimizer("lars", 0.0)
     lr_fn = make_lr_fn(cfg, N_TRAIN // BS)
-    yd = jax.device_put(jnp.asarray(ytr))
-    yvad = jax.device_put(jnp.asarray(yva))
 
     def init_state(seed):
         with ctx:
@@ -204,7 +222,7 @@ def main():
         return loss, updates["batch_stats"]
 
     @jax.jit
-    def train_step(st, feats_stack, var, sel):
+    def train_step(st, feats_stack, yd, var, sel):
         fb = jnp.take(jnp.take(feats_stack, var, axis=0), sel, axis=0)
         yb = jnp.take(yd, sel, axis=0)
         (loss, stats), grads = jax.value_and_grad(
@@ -225,7 +243,8 @@ def main():
         logits = out[0] if isinstance(out, tuple) else out
         return (jnp.argmax(logits, -1) == yb).sum()
 
-    def run_arm(variant_for_epoch, seed):
+    def run_arm(data, variant_for_epoch, seed):
+        feats_stack, fva, yd, yvad = data
         st = init_state(seed)
         order_rng = np.random.default_rng(seed)
         best = 0.0
@@ -233,7 +252,7 @@ def main():
             var = variant_for_epoch[epoch]
             order = order_rng.permutation(N_TRAIN)
             for s in range(0, N_TRAIN - BS + 1, BS):
-                st, loss = train_step(st, feats_stack, jnp.int32(var),
+                st, loss = train_step(st, feats_stack, yd, jnp.int32(var),
                                       jnp.asarray(order[s:s + BS]))
             correct = sum(
                 int(eval_chunk(st, fva[b:b + BS], yvad[b:b + BS]))
@@ -248,12 +267,21 @@ def main():
     for K in KS:
         arms[f"K={K}"] = [e % K for e in range(EPOCHS)]
 
+    if args.probe_alphas:
+        for a in (float(x) for x in args.probe_alphas.split(",")):
+            data = extract_for(a)
+            acc = run_arm(data, fresh_map, 0)
+            _log(f"PROBE alpha={a}: fresh seed-0 top-1 = {acc:.2f}")
+            del data
+        return
+
+    data = extract_for(args.alpha)
     n_seeds = 1 if args.probe_only else args.seeds
     results = {a: [] for a in arms}
     t0 = time.time()
     for seed in range(n_seeds):
         for aname, vmap in arms.items():
-            acc = run_arm(vmap, seed)
+            acc = run_arm(data, vmap, seed)
             results[aname].append(round(acc, 2))
             _log(f"seed {seed} {aname}: {acc:.2f} "
                  f"({time.time() - t0:.0f}s)")

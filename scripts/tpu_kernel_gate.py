@@ -71,19 +71,37 @@ def gate_fused_attention(model):
     _check(f"attn_fused[{variant}] {model}", out, ref, 5e-3, 1e-1)
 
 
-def gate_flash_longT():
+def gate_flash_longT(model="vit_b"):
     """Long-T dispatch: attention_qkv_fused at T=1025 (448px/patch-14
     probing) must route to the head-split flash kernel (r4 measurement:
-    1.52x XLA; scripts/flash_longT_bench.py) and agree with XLA."""
+    1.52x XLA; scripts/flash_longT_bench.py) and agree with XLA. The ViT-H
+    case (Dh=80, non-128-divisible lane dim at long T) exercises Mosaic's
+    masking rules interpret mode can't check."""
     from ep_tpu.ops.attn_fused_pallas import (_flash_fits, _fwd_xla,
                                               attention_qkv_fused)
-    T, D, H = 1025, 768, 12
+    T = 1025
+    _, D, H = SHAPES[model]
     assert _flash_fits(T, D // H, 2), "gate shape should take the flash path"
     qkv = _rng(8, T, 3 * D, seed=5)
     scale = (D // H) ** -0.5
     out = attention_qkv_fused(qkv, H, scale)
     ref = _fwd_xla(qkv, H, scale, 1.0)
-    _check("attn_flash[long-T 1025]", out, ref, 5e-3, 1e-1)
+    _check(f"attn_flash[long-T 1025 {model}]", out, ref, 5e-3, 1e-1)
+
+
+def gate_fused_attention_bwd(model):
+    """In-VMEM attention backward (finetuning path): Pallas _bwd_impl vs
+    the XLA recompute backward, single-program (Dh|128) or head-group
+    (ViT-H Dh=80) variant."""
+    from ep_tpu.ops.attn_fused_pallas import _bwd_impl, _bwd_xla
+    T, D, H = SHAPES[model]
+    variant = "head_group" if 128 % (D // H) != 0 else "single_program"
+    qkv = _rng(B, T, 3 * D, seed=21)
+    g = _rng(B, T, D, seed=22)
+    scale = (D // H) ** -0.5
+    out = _bwd_impl(qkv, g, H, scale, 1.0, False)
+    ref = _bwd_xla(qkv, g, H, scale, 1.0)
+    _check(f"attn_fused_bwd[{variant}] {model}", out, ref, 5e-3, 2e-1)
 
 
 def gate_supercell(model):
@@ -188,14 +206,20 @@ def main():
     if args.quick:
         gate_fused_attention("vit_b")
         gate_fused_attention("vit_h")
-        gate_flash_longT()
+        gate_flash_longT("vit_b")
+        gate_flash_longT("vit_h")
+        gate_fused_attention_bwd("vit_b")
+        gate_fused_attention_bwd("vit_h")
         gate_int8_mlp("vit_b")
         gate_ep_pool()
         gate_ep_pool_fused()
     else:
         for m in ("vit_b", "vit_l", "vit_h"):
             gate_fused_attention(m)
-        gate_flash_longT()
+        gate_flash_longT("vit_b")
+        gate_flash_longT("vit_h")
+        for m in ("vit_b", "vit_l", "vit_h"):
+            gate_fused_attention_bwd(m)
         for m in ("vit_b", "vit_l", "vit_h"):
             gate_supercell(m)
         for m in ("vit_b", "vit_l", "vit_h"):

@@ -65,6 +65,10 @@ def refmod():
     ns.other = importlib.import_module("poolings.other_pool")
     ns.cae = importlib.import_module("poolings.cae_att")
     ns.ap2d = importlib.import_module("poolings.clip.attention_pool2d")
+    ns.ap_latent = importlib.import_module("poolings.clip.attention_pool")
+    ns.cbam = importlib.import_module("poolings.cbam")
+    ns.dolg = importlib.import_module("poolings.dolg.dolg")
+    ns.coca = importlib.import_module("poolings.coca_pytorch")
     return ns
 
 
@@ -84,6 +88,14 @@ def _lin(sd, name):
 
 def _ln(sd, name):
     return {"scale": _n(sd[f"{name}.weight"]), "bias": _n(sd[f"{name}.bias"])}
+
+
+def _conv(sd, name):
+    # torch (out,in,kh,kw) -> flax (kh,kw,in,out)
+    p = {"kernel": _n(sd[f"{name}.weight"]).transpose(2, 3, 1, 0)}
+    if f"{name}.bias" in sd:
+        p["bias"] = _n(sd[f"{name}.bias"])
+    return p
 
 
 def _build_ref_vit(refmod, *, use_shared_rpb=False, use_rpb=False,
@@ -262,7 +274,8 @@ _ACC_MARGIN = 15.0
 
 
 @pytest.mark.parametrize(
-    "head_mode", ["ep", "gap", "simpool", "aim", "cait", "clip", "cae"])
+    "head_mode", ["ep", "gap", "simpool", "aim", "cait", "clip", "cae",
+                  "cbam", "dolg", "siglip", "coca"])
 def test_trainer_engine_parity(refmod, tmp_path, head_mode, monkeypatch):
     """3 epochs of the reference's OWN loop — engine_finetune.train_one_epoch
     + evaluate, LARS (util/lars.py), per-iter LR (util/lr_sched.py), the
@@ -343,6 +356,42 @@ def test_trainer_engine_parity(refmod, tmp_path, head_mode, monkeypatch):
         new_classifier = torch.nn.Linear(D, C, bias=True)
         ref_vit.head = torch.nn.Sequential(
             cb, torch.nn.BatchNorm1d(D, affine=False, eps=1e-6),
+            new_classifier)
+    elif head_mode == "cbam":
+        # conv-grid family with a stateful BatchNorm2d inside the spatial
+        # gate (main_linprobe.py:494-503)
+        cp = refmod.cbam.CbamPooling(channels=D, spatial_kernel_size=7)
+        new_classifier = torch.nn.Linear(D, C, bias=True)
+        ref_vit.head = torch.nn.Sequential(
+            cp, torch.nn.BatchNorm1d(D, affine=False, eps=1e-6),
+            new_classifier)
+    elif head_mode == "dolg":
+        # conv-grid family: 1x1 convs + BatchNorm2d + softplus attention
+        # over L2-normalized features (main_linprobe.py:532-541)
+        dp = refmod.dolg.SpatialAttention2d(in_c=D, s3_dim=D,
+                                            with_aspp=False)
+        new_classifier = torch.nn.Linear(D, C, bias=True)
+        ref_vit.head = torch.nn.Sequential(
+            dp, torch.nn.BatchNorm1d(D, affine=False, eps=1e-6),
+            new_classifier)
+    elif head_mode == "siglip":
+        # fused-kv latent-query family with a residual MLP
+        # (main_linprobe.py:472-478)
+        sg = refmod.ap_latent.AttentionPoolLatent(in_features=D)
+        new_classifier = torch.nn.Linear(D, C, bias=True)
+        ref_vit.head = torch.nn.Sequential(
+            sg, torch.nn.BatchNorm1d(D, affine=False, eps=1e-6),
+            new_classifier)
+    elif head_mode == "coca":
+        # 196-query multi-query cross-attention whose output only keeps
+        # query 0 — OUR side runs the discarded-output fast path
+        # (poolings/coca.py: computes query 0 alone, gradient-identical);
+        # this whole-loop test is exactly what validates that optimization
+        # (main_linprobe.py:504-510)
+        cq = refmod.coca.CrossAttention(dim=D)
+        new_classifier = torch.nn.Linear(D, C, bias=True)
+        ref_vit.head = torch.nn.Sequential(
+            cq, torch.nn.BatchNorm1d(D, affine=False, eps=1e-6),
             new_classifier)
     else:  # plain LP on [CLS] (main_linprobe.py:551)
         new_classifier = torch.nn.Linear(D, C, bias=True)
@@ -440,6 +489,47 @@ def test_trainer_engine_parity(refmod, tmp_path, head_mode, monkeypatch):
             "fc": {"kernel": _n(sd["2.weight"]).T, "bias": _n(sd["2.bias"])},
         }
         bn_idx = "1"
+    elif head_mode == "cbam":
+        params["head"] = {
+            "pool": {"fc1": _conv(sd, "0.channel.fc1"),
+                     "fc2": _conv(sd, "0.channel.fc2"),
+                     "spatial_conv": _conv(sd, "0.spatial.conv.conv"),
+                     "spatial_bn": {
+                         "scale": _n(sd["0.spatial.conv.bn.weight"]),
+                         "bias": _n(sd["0.spatial.conv.bn.bias"])}},
+            "fc": {"kernel": _n(sd["2.weight"]).T, "bias": _n(sd["2.bias"])},
+        }
+        bn_idx = "1"
+    elif head_mode == "dolg":
+        params["head"] = {
+            "pool": {"conv1": _conv(sd, "0.conv1"),
+                     "conv2": _conv(sd, "0.conv2"),
+                     "bn": {"scale": _n(sd["0.bn.weight"]),
+                            "bias": _n(sd["0.bn.bias"])}},
+            "fc": {"kernel": _n(sd["2.weight"]).T, "bias": _n(sd["2.bias"])},
+        }
+        bn_idx = "1"
+    elif head_mode == "siglip":
+        params["head"] = {
+            "pool": {"latent": _n(sd["0.latent"]),
+                     "q": _lin(sd, "0.q"), "kv": _lin(sd, "0.kv"),
+                     "proj": _lin(sd, "0.proj"),
+                     "mlp_fc1": _lin(sd, "0.mlp.fc1"),
+                     "mlp_fc2": _lin(sd, "0.mlp.fc2")},
+            "fc": {"kernel": _n(sd["2.weight"]).T, "bias": _n(sd["2.bias"])},
+        }
+        bn_idx = "1"
+    elif head_mode == "coca":
+        params["head"] = {
+            "pool": {"img_queries": _n(sd["0.img_queries"]),
+                     "norm": {"scale": _n(sd["0.norm.gamma"]),
+                              "bias": _n(sd["0.norm.beta"])},
+                     "to_q": _lin(sd, "0.to_q"),
+                     "to_kv": _lin(sd, "0.to_kv"),
+                     "to_out": _lin(sd, "0.to_out")},
+            "fc": {"kernel": _n(sd["2.weight"]).T, "bias": _n(sd["2.bias"])},
+        }
+        bn_idx = "1"
     elif head_mode == "cae":
         params["head"] = {
             "pool": {"query_token": _n(sd["0.query_token"]),
@@ -466,6 +556,15 @@ def test_trainer_engine_parity(refmod, tmp_path, head_mode, monkeypatch):
         batch_stats["head"]["pool"] = {
             "bn": {"mean": _n(sd["0.bn.running_mean"]),
                    "var": _n(sd["0.bn.running_var"])}}
+    elif head_mode == "dolg":
+        batch_stats["head"]["pool"] = {
+            "bn": {"mean": _n(sd["0.bn.running_mean"]),
+                   "var": _n(sd["0.bn.running_var"])}}
+    elif head_mode == "cbam":
+        batch_stats["head"]["pool"] = {
+            "spatial_bn": {
+                "mean": _n(sd["0.spatial.conv.bn.running_mean"]),
+                "var": _n(sd["0.spatial.conv.bn.running_var"])}}
     variables = {"params": params, "batch_stats": batch_stats}
 
     tx = build_optimizer("lars", 0.0)

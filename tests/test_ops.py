@@ -296,6 +296,20 @@ def test_attention_qkv_fused_long_t_xla_fallback(rng):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
 
+    # the backward's VMEM gate must likewise take the XLA fallback (the
+    # in-VMEM Pallas backward can't stage (2048, 2048) f32 probs)
+    g1 = jax.grad(lambda q: (
+        attention_qkv_fused(q, H, scale, 1.0, False) ** 2).sum())(qkv)
+
+    def f2(qkv):
+        x = qkv.reshape(B, T, 3, H, Dh).transpose(2, 0, 3, 1, 4)
+        r = mha(x[0], x[1], x[2], scale)
+        return (r.transpose(0, 2, 1, 3).reshape(B, T, D) ** 2).sum()
+
+    g2 = jax.grad(f2)(qkv)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=1e-4, atol=1e-4)
+
 
 def test_mlp_int8_fused_close_to_bf16(rng):
     """Opt-in int8 MLP kernel (interpret): output within the documented
@@ -428,12 +442,16 @@ def test_attn_supercell_matches_reference(rng):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
 
-    # custom VJP (XLA recompute) agrees with autodiff of the reference
+    # custom VJP (Pallas in-VMEM attention backward + XLA matmul
+    # recomputes) agrees with autodiff of the reference, for every
+    # argument class: tokens, both weight matrices, biases, LN affine
     g1 = jax.grad(lambda *a: (attn_supercell(
-        *a, H, scale, 1.0, 1e-6, True) ** 2).sum(), argnums=(0, 1, 5))(
+        *a, H, scale, 1.0, 1e-6, True) ** 2).sum(),
+        argnums=(0, 1, 2, 3, 4, 5, 6))(
         x, w_qkv, b_qkv, gamma, beta, w_proj, b_proj)
     g2 = jax.grad(lambda *a: (_ref_forward(
-        *a, H, scale, 1.0, 1e-6) ** 2).sum(), argnums=(0, 1, 5))(
+        *a, H, scale, 1.0, 1e-6) ** 2).sum(),
+        argnums=(0, 1, 2, 3, 4, 5, 6))(
         x, w_qkv, b_qkv, gamma, beta, w_proj, b_proj)
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
