@@ -10,10 +10,14 @@ actual code — `models_simmim.VisionTransformerSimMIM` backbone,
 train/engine.py) runs on the identical weights and data. Per-epoch
 train-loss and val trajectories must agree.
 
-Seven head families go through the loop (r4; r3 had four): ep, plain LP
-on gap, simpool, aim (stateful in-pool BN), cait (LayerScale class-attn
-block), clip (fused-qkv + additive pos-embed), cae (separate per-input
-LayerNorms). The toy task shares class prototypes between train and val
+Eleven head families go through the loop (r5; r4 had seven, r3 four):
+ep, plain LP on gap, simpool, aim (stateful in-pool BN), cait (LayerScale
+class-attn block), clip (fused-qkv + additive pos-embed), cae (separate
+per-input LayerNorms), cbam + dolg (conv-grid heads with stateful
+BatchNorm2d), siglip (fused-kv latent query + residual MLP), and coca —
+whose 196-query discarded-output fast path (poolings/coca.py computes
+query 0 alone) is validated gradient-identical through the reference's
+own loop here. The toy task shares class prototypes between train and val
 (the r3 version drew them per split, which scored heads against unrelated
 val colors) and runs 48 BN/LARS steps so running statistics converge
 enough for genuine val-accuracy movement on every head — this is what
@@ -265,11 +269,13 @@ def _make_data(n, batch, seed, noise=0.7):
 # updates left simpool (et al.) eval-degenerate. The two heads with no
 # learnable attention temperature of their own (gap's plain linear probe
 # and ep's tiny-init v) need the higher LR to move in 48 LARS steps.
-_TOY_LR = {"gap": 1.2, "ep": 1.2}
+_TOY_LR = {"gap": 1.2, "ep": 1.2, "cbam": 1.6}
 
 # Final-epoch val-accuracy bar: chance (100/C = 20%) + 15. Measured final
 # accs at these knobs: ep 75, gap 43.75, simpool 51.6, aim 50, cait 93.75,
-# clip 100, cae 76.6 — every trajectory is genuinely non-flat.
+# clip 100, cae 76.6, dolg/siglip/coca pass at 0.45, cbam needs 1.6 (its
+# pool params barely shape the GAP'd descriptor, like gap/ep) — every
+# trajectory is genuinely non-flat.
 _ACC_MARGIN = 15.0
 
 
