@@ -212,7 +212,9 @@ def main():
     # once under a distinct AOT key so BENCH_r*.json itself carries both
     # rolls and a reader can judge whether a ViT-H delta is real.
     lottery = None
-    if cfg.model.startswith("vit_huge") and \
+    # with the AOT cache disabled, maybe_wrap returns the SAME jitted
+    # callable for both keys — a "re-roll" would time one binary twice
+    if cfg.model.startswith("vit_huge") and aot_dir and \
             os.environ.get("EP_TPU_BENCH_LOTTERY", "1") != "0":
         _log("ViT-H compile lottery: re-rolling the executable ...")
         step2 = maybe_wrap(raw_train_step, aot_key + ":roll=2", aot_dir)
@@ -234,7 +236,8 @@ def main():
             "spread_pct": round(100.0 * abs(rolls[0] - rolls[1])
                                 / max(rolls), 1),
             "note": "two independently compiled executables of the same "
-                    "program; headline uses the better roll",
+                    "program; headline uses the better roll; "
+                    "per_step_sync_img_s is roll-1 only",
         }
         _log(f"lottery rolls: {rolls} img/s")
         step_t = min(step_t, roll2_t)

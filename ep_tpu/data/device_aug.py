@@ -36,8 +36,10 @@ Known, documented protocol difference: the random crop samples over the
 SQUARE staged image (stage×stage) rather than the original rectangle —
 static device shapes require a fixed staging geometry. The staged image is
 an aspect-distorting bicubic resize of the original (the same distortion
-RRC's final resize applies); the accuracy impact is measured on the
-synthetic margin task in scripts/device_aug_study.py.
+RRC's final resize applies). Measured (r5, scripts/device_aug_study.py →
+DEVICE_AUG_STUDY.json): on the synthetic margin task with 150x200
+rectangles, the square-staged protocol is never worse — +1.45pp mean,
+worst seed +0.58pp over 5 seeds vs true-rectangle crop boxes.
 """
 from __future__ import annotations
 
@@ -214,11 +216,13 @@ def sample_crop_params(key: jax.Array, batch: int, stage: int,
 
 def resample_crop(images_u8: jnp.ndarray, i, j, h, w, out: int,
                   ) -> jnp.ndarray:
-    """Batched separable bicubic crop-resize: (B,S,S,3) u8 + per-image
-    boxes → (B,out,out,3) float32 in [0,255]. bf16 operands, f32 accum."""
-    B, S, _, C = images_u8.shape
-    wy = resample_weights(i, h, S, out).astype(jnp.bfloat16)  # (B,out,S)
-    wx = resample_weights(j, w, S, out).astype(jnp.bfloat16)  # (B,out,S)
+    """Batched separable bicubic crop-resize: (B,H,W,3) u8 + per-image
+    boxes → (B,out,out,3) float32 in [0,255]. bf16 operands, f32 accum.
+    The source may be rectangular (the train path stages square, but
+    scripts/device_aug_study.py resamples true rectangles through this)."""
+    B, H_src, W_src, C = images_u8.shape
+    wy = resample_weights(i, h, H_src, out).astype(jnp.bfloat16)
+    wx = resample_weights(j, w, W_src, out).astype(jnp.bfloat16)
     x = images_u8.astype(jnp.bfloat16)  # 0..255 exact in bf16
     # y-pass: contract source rows -> (B, out, S, C)
     x = jnp.einsum("bos,bswc->bowc", wy, x,

@@ -199,11 +199,40 @@ def _fwd(x, w_qkv, b_qkv, gamma, beta, w_proj, b_proj, num_heads, scale,
 
 
 def _bwd(num_heads, scale, temperature, eps, interpret, res, g_out):
+    """Explicit backward that keeps every (T, T) tensor inside Pallas
+    kernels. The r4 version vjp'd through _ref_forward — XLA recompute of
+    the whole half-block, which stages the (B,H,T,T) softmax and its
+    cotangent in HBM (~1 GB/step at ViT-B bs512) and was the finetune-MFU
+    gap called out in the r4 VERDICT. Here the LN+qkv and proj matmul
+    recomputes stay in XLA (MXU-bound, cheap), while the attention core
+    re-runs through attention_qkv_fused's Pallas forward and its in-VMEM
+    Pallas backward (attn_fused_pallas._bwd_impl) — no (T, T) HBM traffic.
+    Shapes whose blocks overflow VMEM fall back inside those dispatchers."""
+    from ep_tpu.ops.attn_fused_pallas import attention_qkv_fused
     x, w_qkv, b_qkv, gamma, beta, w_proj, b_proj = res
-    _, vjp = jax.vjp(
-        lambda *a: _ref_forward(*a, num_heads, scale, temperature, eps),
-        x, w_qkv, b_qkv, gamma, beta, w_proj, b_proj)
-    return vjp(g_out)
+
+    def front(x, gamma, beta, w_qkv, b_qkv):
+        xf = x.astype(jnp.float32)
+        mu = xf.mean(-1, keepdims=True)
+        var = ((xf - mu) ** 2).mean(-1, keepdims=True)
+        xn = ((xf - mu) * jax.lax.rsqrt(var + eps) * gamma
+              + beta).astype(x.dtype)
+        qkv = (xn @ w_qkv.astype(x.dtype)).astype(jnp.float32) + b_qkv
+        return qkv.astype(x.dtype)
+
+    def back(x, o, w_proj, b_proj):
+        proj = (o @ w_proj.astype(o.dtype)).astype(jnp.float32) + b_proj
+        return (x.astype(jnp.float32) + proj).astype(x.dtype)
+
+    qkv, front_vjp = jax.vjp(front, x, gamma, beta, w_qkv, b_qkv)
+    o, attn_vjp = jax.vjp(
+        lambda t: attention_qkv_fused(t, num_heads, scale, temperature,
+                                      interpret), qkv)
+    _, back_vjp = jax.vjp(back, x, o, w_proj, b_proj)
+    dx_res, do, dwp, dbp = back_vjp(g_out)
+    (dqkv,) = attn_vjp(do)
+    dx_ln, dgamma, dbeta, dwq, dbq = front_vjp(dqkv)
+    return (dx_res + dx_ln, dwq, dbq, dgamma, dbeta, dwp, dbp)
 
 
 attn_supercell.defvjp(_fwd, _bwd)

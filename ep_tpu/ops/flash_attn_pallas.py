@@ -105,6 +105,18 @@ def _flash_forward(q, k, v, scale, temperature, interpret,
             or gsize * T * t_lane * 4
             + 4 * gsize * T * d_pad * q.dtype.itemsize > 13 * 1024 * 1024):
         gsize -= 1
+    if (gsize == 1
+            and T * t_lane * 4 + 4 * T * d_pad * q.dtype.itemsize
+            > 13 * 1024 * 1024):
+        # even a single head's f32 logits overflow the scoped VMEM limit
+        # (possible for direct callers at very long T; product dispatch is
+        # already guarded by attn_fused_pallas._flash_fits) — answer in XLA
+        # instead of emitting a pallas_call Mosaic will reject.
+        logits = jnp.einsum(
+            "bhqd,bhkd->bhqk", q, k,
+            preferred_element_type=jnp.float32) * (scale / temperature)
+        probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+        return jnp.einsum("bhqk,bhkd->bhqd", probs, v)
     grid = (B * H // gsize,) if (B * H) % gsize == 0 else (B * H,)
     g = gsize if (B * H) % gsize == 0 else 1
 

@@ -65,6 +65,10 @@ def build_pooling(cfg: TrainConfig, dim: int, num_patches: int,
         feat_size = 16 if cfg.model == "capi_vitl14_in1k" else 14
         if feat_size * feat_size != num_patches:
             feat_size = int(round(num_patches ** 0.5))
+            if feat_size * feat_size != num_patches:
+                raise ValueError(
+                    f"clip pooling requires a square token grid; got "
+                    f"{num_patches} patch tokens (no integer feat_size)")
         return CLIPAttentionPool2d(in_features=dim, feat_size=feat_size,
                                    dtype=dtype, name="pool")
     if name == "siglip":
