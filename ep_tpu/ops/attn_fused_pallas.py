@@ -383,43 +383,54 @@ def _bwd_kernel(qkv_ref, g_ref, dqkv_ref, *, H: int, Dh: int, scale: float,
 
 
 def _bwd_kernel_head_group(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref,
-                           dv_ref, *, scale: float, temperature: float):
+                           dv_ref, *, scale: float, temperature: float,
+                           chunk: int):
     """Head-group backward (ViT-H Dh=80): same DMA-level head-stripe
-    blocking as _kernel_head_group, grads batched over the G heads."""
+    blocking as _kernel_head_group. The backward keeps TWO (.,T,T) f32
+    tensors live (probs + da), so the full 8-head batch overflows scoped
+    VMEM at T=257 (Mosaic measured 24.93 MB vs the 16 MB limit) — and
+    G<8 stripes are lane-ILLEGAL (block's second-to-last dim must divide
+    by 8). Fix: keep the G=8 DMA stripes but run the softmax-grad algebra
+    in sequential ``chunk``-head sub-batches; buffers of finished chunks
+    die and Mosaic's stack allocator reuses them."""
     coef = scale / temperature
     q = q_ref[0].transpose(1, 0, 2)   # (G, T, Dh)
     k = k_ref[0].transpose(1, 0, 2)
     v = v_ref[0].transpose(1, 0, 2)
     gh = g_ref[0].transpose(1, 0, 2)
-    logits = jax.lax.dot_general(
-        q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    ) * coef  # (G, T, T)
-    logits = logits - logits.max(axis=-1, keepdims=True)
-    p = jnp.exp(logits)
-    a = p / p.sum(axis=-1, keepdims=True)
-    ab = a.astype(v.dtype)
-    dv = jax.lax.dot_general(  # aᵀ @ gh per group -> (G, T_k, Dh)
-        ab, gh, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    )
-    da = jax.lax.dot_general(  # gh @ vᵀ -> (G, T_q, T_k)
-        gh, v, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    )
-    dl = (a * (da - (a * da).sum(axis=-1, keepdims=True)) * coef
-          ).astype(v.dtype)
-    dq = jax.lax.dot_general(  # dl @ k -> (G, T_q, Dh)
-        dl, k, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    )
-    dk = jax.lax.dot_general(  # dlᵀ @ q -> (G, T_k, Dh)
-        dl, q, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    )
-    dq_ref[0] = dq.transpose(1, 0, 2).astype(dq_ref.dtype)
-    dk_ref[0] = dk.transpose(1, 0, 2).astype(dk_ref.dtype)
-    dv_ref[0] = dv.transpose(1, 0, 2).astype(dv_ref.dtype)
+    G = q.shape[0]
+    for c0 in range(0, G, chunk):
+        sl = slice(c0, c0 + chunk)
+        qc, kc, vc, gc = q[sl], k[sl], v[sl], gh[sl]
+        logits = jax.lax.dot_general(
+            qc, kc, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * coef  # (C, T, T)
+        logits = logits - logits.max(axis=-1, keepdims=True)
+        p = jnp.exp(logits)
+        a = p / p.sum(axis=-1, keepdims=True)
+        ab = a.astype(vc.dtype)
+        dv = jax.lax.dot_general(  # aᵀ @ gh per head -> (C, T_k, Dh)
+            ab, gc, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        da = jax.lax.dot_general(  # gh @ vᵀ -> (C, T_q, T_k)
+            gc, vc, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        dl = (a * (da - (a * da).sum(axis=-1, keepdims=True)) * coef
+              ).astype(vc.dtype)
+        dq = jax.lax.dot_general(  # dl @ k -> (C, T_q, Dh)
+            dl, kc, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        dk = jax.lax.dot_general(  # dlᵀ @ q -> (C, T_k, Dh)
+            dl, qc, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        dq_ref[0, :, sl] = dq.transpose(1, 0, 2).astype(dq_ref.dtype)
+        dk_ref[0, :, sl] = dk.transpose(1, 0, 2).astype(dk_ref.dtype)
+        dv_ref[0, :, sl] = dv.transpose(1, 0, 2).astype(dv_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("num_heads", "scale",
@@ -430,15 +441,29 @@ def _bwd_impl(qkv, g, num_heads, scale, temperature, interpret):
     Dh = D // num_heads
     t_pad = ((T + 127) // 128) * 128
     it = qkv.dtype.itemsize
-    if 128 % Dh != 0 and num_heads % 8 == 0:
-        # head-group route (ViT-H): 4 in-stripes + 3 out-stripes double-
-        # buffered + (8,T,T) f32 logits/probs + (8,T,T) f32 da live
-        est_g = (8 * 2 * T * 8 * Dh * it * 7 // 4
-                 + 2 * 8 * T * t_pad * 4)
+    if 128 % Dh != 0:
+        # head-group route (ViT-H): G=8 DMA stripes are the ONLY lane-
+        # legal blocking (Mosaic rejects blocks whose second-to-last dim
+        # isn't divisible by 8), and the full 8-head backward algebra
+        # overflows scoped VMEM at T=257 (Mosaic measured 24.93 MB vs
+        # the 16 MB limit; the r5.0 fallback to _bwd_xla here made the
+        # decomposed supercell backward recompute the attention core
+        # TWICE and regressed ViT-H finetune 78.2 -> 64.0 img/s,
+        # BENCH_MODELS_r05.json before this fix). The kernel therefore
+        # chunks its compute — sequential 2-head sub-batches whose dead
+        # buffers Mosaic's stack allocator reuses. chunk=2 is the widest
+        # measured fit at ViT-H T=257 (chunk=4 still OOMs at 19.94 MB —
+        # reuse across iterations is only partial), and the estimate
+        # below stays calibrated-conservative for longer T.
+        if num_heads % 8:
+            return _bwd_xla(qkv, g, num_heads, scale, temperature)
+        fixed = (7 * 2 * T * 8 * Dh * it   # 4 in + 3 out stripes, dbuf
+                 + 4 * 8 * T * Dh * it)    # (G,T,Dh) transposed copies
+        est_g = fixed + 2 * T * t_pad * 24
         if est_g > 13 * 1024 * 1024 and not interpret:
             return _bwd_xla(qkv, g, num_heads, scale, temperature)
         return _bwd_head_group(qkv, g, num_heads, scale, temperature,
-                               interpret)
+                               interpret, chunk=2 if not interpret else 8)
     # single-program route: qkv + g + dqkv rows double-buffered + two
     # (T, T) f32 live tensors (probs + da)
     est = (2 * T * D3 * it * 2 + 2 * T * D * it + 2 * T * t_pad * 4)
@@ -470,12 +495,12 @@ def _bwd_impl(qkv, g, num_heads, scale, temperature, interpret):
 
 
 def _bwd_head_group(qkv, g, num_heads, scale, temperature, interpret,
-                    group: int = 8):
+                    chunk: int = 8):
     B, T, D3 = qkv.shape
     D = D3 // 3
     H = num_heads
     Dh = D // H
-    G = group
+    G = 8  # the only lane-legal stripe width (see _bwd_impl)
     ng = H // G
     qkv4 = qkv.reshape(B, T, 3 * H, Dh)
     g4 = g.reshape(B, T, H, Dh)
@@ -487,7 +512,7 @@ def _bwd_head_group(qkv, g, num_heads, scale, temperature, interpret,
     shp = jax.ShapeDtypeStruct((B, T, H, Dh), qkv.dtype)
     dq, dk, dv = pl.pallas_call(
         functools.partial(_bwd_kernel_head_group, scale=scale,
-                          temperature=temperature),
+                          temperature=temperature, chunk=chunk),
         grid=(B, ng),
         in_specs=[spec(0), spec(1), spec(2),
                   pl.BlockSpec((1, T, G, Dh), lambda b, gi: (b, 0, gi, 0),

@@ -82,6 +82,12 @@ def main():
                     "(scripts/bench_models.py); headline ViT-B probing is "
                     "the driver's own BENCH_r*.json"),
            "rows": {}}
+    # partial re-runs (--rows ft_h) merge into an existing artifact
+    # instead of clobbering the rows they didn't measure
+    out_path = os.path.join(ROOT, args.out)
+    if os.path.exists(out_path):
+        with open(out_path) as f:
+            doc["rows"] = json.load(f).get("rows", {})
     for name in args.rows.split(","):
         doc["rows"][name] = run_row(name, ROWS[name], args.timeout)
         with open(os.path.join(ROOT, args.out), "w") as f:

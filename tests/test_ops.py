@@ -273,6 +273,32 @@ def test_attention_qkv_fused_head_group_path(rng, T):
                                rtol=1e-4, atol=1e-4)
 
 
+@_pytest.mark.parametrize("chunk", [8, 4, 2])
+def test_attention_bwd_head_group_chunked(rng, chunk):
+    """The head-group backward at full ViT-H head count (H=16 -> two
+    8-head grid steps per image) against the XLA recompute backward.
+    G=8 stripes are the only lane-legal blocking (Mosaic requires the
+    block's second-to-last dim divisible by 8 — a rule interpret mode
+    does NOT check, r3 lesson); VMEM pressure is handled by the in-kernel
+    compute chunking instead, so every chunk width must stay
+    value-identical."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from ep_tpu.ops.attn_fused_pallas import _bwd_head_group, _bwd_xla
+
+    B, T, H, Dh = 2, 33, 16, 80
+    D3 = 3 * H * Dh
+    scale = Dh ** -0.5
+    qkv = jax.random.normal(rng, (B, T, D3), jnp.float32)
+    g = jax.random.normal(jax.random.fold_in(rng, 1),
+                          (B, T, H * Dh), jnp.float32)
+    got = _bwd_head_group(qkv, g, H, scale, 1.0, True, chunk=chunk)
+    want = _bwd_xla(qkv, g, H, scale, 1.0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_attention_qkv_fused_long_t_xla_fallback(rng):
     """T long enough that even ONE head's f32 logits overflow scoped VMEM
     (T=2048: 2048x2048x4 = 16.8 MB > 13) must route to the XLA
