@@ -10,14 +10,17 @@ actual code — `models_simmim.VisionTransformerSimMIM` backbone,
 train/engine.py) runs on the identical weights and data. Per-epoch
 train-loss and val trajectories must agree.
 
-Eleven head families go through the loop (r5; r4 had seven, r3 four):
-ep, plain LP on gap, simpool, aim (stateful in-pool BN), cait (LayerScale
-class-attn block), clip (fused-qkv + additive pos-embed), cae (separate
-per-input LayerNorms), cbam + dolg (conv-grid heads with stateful
-BatchNorm2d), siglip (fused-kv latent query + residual MLP), and coca —
-whose 196-query discarded-output fast path (poolings/coca.py computes
-query 0 alone) is validated gradient-identical through the reference's
-own loop here. The toy task shares class prototypes between train and val
+Fifteen head families go through the loop — every CLI-reachable family
+(r5.1; r5.0 had eleven, r4 seven, r3 four): ep, plain LP on gap, simpool,
+aim (stateful in-pool BN), cait (LayerScale class-attn block), clip
+(fused-qkv + additive pos-embed), cae (separate per-input LayerNorms),
+cbam + dolg (conv-grid heads with stateful BatchNorm2d), siglip (fused-kv
+latent query + residual MLP), coca — whose 196-query discarded-output
+fast path (poolings/coca.py computes query 0 alone) is validated
+gradient-identical through the reference's own loop here — plus abmilp
+(gated attention-MIL + 1-head self-attention), esimpool (linear-free
+SimPool), dinovit (a full DINO ViT block as the pool), and jepa (I-JEPA
+attentive pooler). The toy task shares class prototypes between train and val
 (the r3 version drew them per split, which scored heads against unrelated
 val colors) and runs 48 BN/LARS steps so running statistics converge
 enough for genuine val-accuracy movement on every head — this is what
@@ -73,6 +76,8 @@ def refmod():
     ns.cbam = importlib.import_module("poolings.cbam")
     ns.dolg = importlib.import_module("poolings.dolg.dolg")
     ns.coca = importlib.import_module("poolings.coca_pytorch")
+    ns.abmilp = importlib.import_module("poolings.abmilp")
+    ns.jepa = importlib.import_module("poolings.jepa.attentive_pooler")
     return ns
 
 
@@ -269,19 +274,24 @@ def _make_data(n, batch, seed, noise=0.7):
 # updates left simpool (et al.) eval-degenerate. The two heads with no
 # learnable attention temperature of their own (gap's plain linear probe
 # and ep's tiny-init v) need the higher LR to move in 48 LARS steps.
-_TOY_LR = {"gap": 1.2, "ep": 1.2, "cbam": 1.6}
+_TOY_LR = {"gap": 1.2, "ep": 1.2, "cbam": 1.6, "esimpool": 1.6,
+           "jepa": 0.3}
 
 # Final-epoch val-accuracy bar: chance (100/C = 20%) + 15. Measured final
 # accs at these knobs: ep 75, gap 43.75, simpool 51.6, aim 50, cait 93.75,
-# clip 100, cae 76.6, dolg/siglip/coca pass at 0.45, cbam needs 1.6 (its
-# pool params barely shape the GAP'd descriptor, like gap/ep) — every
-# trajectory is genuinely non-flat.
+# clip 100, cae 76.6, dolg/siglip/coca/abmilp/dinovit pass at 0.45, cbam
+# and esimpool need 1.6 (their pool params barely shape the GAP'd/LN'd
+# descriptor, like gap/ep), jepa needs 0.3 DOWN — at 0.45 its trajectory
+# goes mildly chaotic and f32 op-order drift flips 3/64 val preds by
+# epoch 1 (step-0 grads match torch to 2e-5; it's compounding, not math)
+# — every trajectory is genuinely non-flat.
 _ACC_MARGIN = 15.0
 
 
 @pytest.mark.parametrize(
     "head_mode", ["ep", "gap", "simpool", "aim", "cait", "clip", "cae",
-                  "cbam", "dolg", "siglip", "coca"])
+                  "cbam", "dolg", "siglip", "coca", "abmilp", "esimpool",
+                  "dinovit", "jepa"])
 def test_trainer_engine_parity(refmod, tmp_path, head_mode, monkeypatch):
     """3 epochs of the reference's OWN loop — engine_finetune.train_one_epoch
     + evaluate, LARS (util/lars.py), per-iter LR (util/lr_sched.py), the
@@ -399,6 +409,56 @@ def test_trainer_engine_parity(refmod, tmp_path, head_mode, monkeypatch):
         ref_vit.head = torch.nn.Sequential(
             cq, torch.nn.BatchNorm1d(D, affine=False, eps=1e-6),
             new_classifier)
+    elif head_mode == "abmilp":
+        # gated attention-MIL head: tanh MLP attention predictor + 1-head
+        # self-attention over the tokens first, CLI defaults sa="both",
+        # depth=2 (main_linprobe.py:413-424); cond="none" == the CLI's
+        # default None (abmilp.py:28 only special-cases "pe")
+        ab = refmod.abmilp.ABMILPHead(
+            dim=D, self_attention_apply_to="both", activation="tanh",
+            depth=2, cond="none", content="all", num_patches=N)
+        new_classifier = torch.nn.Linear(D, C, bias=True)
+        ref_vit.head = torch.nn.Sequential(
+            ab, torch.nn.BatchNorm1d(D, affine=False, eps=1e-6),
+            new_classifier)
+    elif head_mode == "esimpool":
+        # linear-free SimPool (main_linprobe.py:445-457). The reference
+        # hardcodes num_heads=12, which doesn't divide the tiny twin's
+        # D=32 (its reshape would crash on BOTH frameworks) — both sides
+        # get 8 here, like clip's feat_size adaptation above.
+        orig_tensor = torch.tensor
+        monkeypatch.setattr(
+            torch, "tensor",
+            lambda *a, **k: orig_tensor(
+                *a, **{x: v for x, v in k.items() if x != "device"}))
+        sp = refmod.simpool.SimPool_nolinears(dim=D, num_heads=8,
+                                              qk_scale=None, gamma=None,
+                                              use_beta=False)
+        from ep_tpu.poolings import registry as _reg
+        from ep_tpu.poolings.simpool import SimPoolNoLinears as _SPNL
+        monkeypatch.setattr(
+            _reg, "SimPoolNoLinears",
+            lambda dim, num_heads, dtype, name: _SPNL(
+                dim=dim, num_heads=8, dtype=dtype, name=name))
+        new_classifier = torch.nn.Linear(D, C, bias=True)
+        ref_vit.head = torch.nn.Sequential(
+            sp, torch.nn.BatchNorm1d(D, affine=False, eps=1e-6),
+            new_classifier)
+    elif head_mode == "dinovit":
+        # one full DINO ViT block as the pooling (main_linprobe.py:519-525)
+        dv = refmod.other.DinoViTBlockPooling(d_model=D)
+        new_classifier = torch.nn.Linear(D, C, bias=True)
+        ref_vit.head = torch.nn.Sequential(
+            dv, torch.nn.BatchNorm1d(D, affine=False, eps=1e-6),
+            new_classifier)
+    elif head_mode == "jepa":
+        # I-JEPA attentive pooler: learned query through a full
+        # cross-attention block (main_linprobe.py:526-531)
+        jp = refmod.jepa.AttentivePooler(embed_dim=D, num_heads=HEADS)
+        new_classifier = torch.nn.Linear(D, C, bias=True)
+        ref_vit.head = torch.nn.Sequential(
+            jp, torch.nn.BatchNorm1d(D, affine=False, eps=1e-6),
+            new_classifier)
     else:  # plain LP on [CLS] (main_linprobe.py:551)
         new_classifier = torch.nn.Linear(D, C, bias=True)
         ref_vit.head = torch.nn.Sequential(
@@ -423,11 +483,16 @@ def test_trainer_engine_parity(refmod, tmp_path, head_mode, monkeypatch):
     t_train, t_val = to_torch(train_batches), to_torch(val_batches)
 
     # ---------------- our side: identical weights via the converter -------
+    # num_heads=HEADS on BOTH sides: the registry builds aim/jepa pools
+    # from cfg.num_heads, and head count changes the softmax partition
+    # (verified: aim H=16 vs the ref's H=4 drifts features by ~6e-3 —
+    # within this test's loss tolerance, but parity should be exact)
     cfg = TrainConfig(
         model="vit_tiny_patch16", cls_features=head_mode, ep_queries=4,
         d_out=1, nb_classes=C, image_size=IMG, batch_size=BATCH,
         epochs=EPOCHS, warmup_epochs=WARMUP, lr=LR, min_lr=MIN_LR,
-        amp="float32", pallas_pool=False, eff_batch_size=BATCH)
+        amp="float32", pallas_pool=False, eff_batch_size=BATCH,
+        num_heads=HEADS)
     backbone_cfg = _our_cfg()
     model = ProbeModel(backbone_cfg, cfg)
     variables = model.init(
@@ -546,6 +611,48 @@ def test_trainer_engine_parity(refmod, tmp_path, head_mode, monkeypatch):
                      "k": _lin(sd, "0.cross_attn.k"),
                      "v": _lin(sd, "0.cross_attn.v"),
                      "proj": _lin(sd, "0.cross_attn.proj")},
+            "fc": {"kernel": _n(sd["2.weight"]).T, "bias": _n(sd["2.bias"])},
+        }
+        bn_idx = "1"
+    elif head_mode == "abmilp":
+        params["head"] = {
+            "pool": {
+                "attention_predictor_0": _lin(sd, "0.attention_predictor.0"),
+                "attention_predictor_2": _lin(sd, "0.attention_predictor.2"),
+                "self_attn": {"qkv": _lin(sd, "0.self_attn.qkv"),
+                              "proj": _lin(sd, "0.self_attn.proj")}},
+            "fc": {"kernel": _n(sd["2.weight"]).T, "bias": _n(sd["2.bias"])},
+        }
+        bn_idx = "1"
+    elif head_mode == "esimpool":
+        params["head"] = {
+            "pool": {"norm_patches": _ln(sd, "0.norm_patches")},
+            "fc": {"kernel": _n(sd["2.weight"]).T, "bias": _n(sd["2.bias"])},
+        }
+        bn_idx = "1"
+    elif head_mode == "dinovit":
+        blk = "0.dino_block"
+        params["head"] = {
+            "pool": {"norm1": _ln(sd, f"{blk}.norm1"),
+                     "norm2": _ln(sd, f"{blk}.norm2"),
+                     "qkv": _lin(sd, f"{blk}.attn.qkv"),
+                     "proj": _lin(sd, f"{blk}.attn.proj"),
+                     "mlp_fc1": _lin(sd, f"{blk}.mlp.fc1"),
+                     "mlp_fc2": _lin(sd, f"{blk}.mlp.fc2")},
+            "fc": {"kernel": _n(sd["2.weight"]).T, "bias": _n(sd["2.bias"])},
+        }
+        bn_idx = "1"
+    elif head_mode == "jepa":
+        cab = "0.cross_attention_block"
+        params["head"] = {
+            "pool": {"query_tokens": _n(sd["0.query_tokens"]),
+                     "norm1": _ln(sd, f"{cab}.norm1"),
+                     "norm2": _ln(sd, f"{cab}.norm2"),
+                     "xattn_q": _lin(sd, f"{cab}.xattn.q"),
+                     "xattn_kv": _lin(sd, f"{cab}.xattn.kv"),
+                     "xattn_proj": _lin(sd, f"{cab}.xattn.proj"),
+                     "mlp_fc1": _lin(sd, f"{cab}.mlp.fc1"),
+                     "mlp_fc2": _lin(sd, f"{cab}.mlp.fc2")},
             "fc": {"kernel": _n(sd["2.weight"]).T, "bias": _n(sd["2.bias"])},
         }
         bn_idx = "1"
