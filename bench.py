@@ -300,6 +300,7 @@ def main():
         if dca:
             result["device_aug_img_s"] = dca
     if (not cfg.int8_mlp and cfg.model.startswith("vit_base")
+            and os.environ.get("EP_TPU_BENCH_SKIP_INT8", "0") != "1"
             and compile_s < 400):
         # skip the secondary when the main compile was already slow (cold
         # AOT cache + unlucky relay): keeps the whole bench bounded

@@ -33,6 +33,12 @@ ROWS = {
     # full fine-tuning (--finetuning): ViT-B bs512, ViT-H bs128 (bs256
     # OOMs on LARS f32 state, PERFORMANCE.md "Full fine-tuning mode")
     "ft_b": {"EP_TPU_BENCH_FINETUNE": "1"},
+    # ViT-L finetune at bs256: remat-saved activations scale with B*D*depth
+    # (~10 GB at bs512 with attn_out policy) — bs256 leaves headroom for
+    # the f32 master+momentum LARS state (2.4 GB)
+    "ft_l": {"EP_TPU_BENCH_FINETUNE": "1",
+             "EP_TPU_BENCH_MODEL": "vit_large_patch16",
+             "EP_TPU_BENCH_BATCH": "256"},
     "ft_h": {"EP_TPU_BENCH_FINETUNE": "1",
              "EP_TPU_BENCH_MODEL": "vit_huge_patch14",
              "EP_TPU_BENCH_BATCH": "128",
