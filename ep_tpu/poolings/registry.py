@@ -45,6 +45,20 @@ def build_pooling(cfg: TrainConfig, dim: int, num_patches: int,
                   dtype: Any = jnp.bfloat16) -> Optional[nn.Module]:
     """Instantiate the pooling module for --cls_features, or None for LP."""
     name = base_name(cfg.cls_features)
+    if cfg.cls_features.endswith("_all") and name in ("clip", "cbam", "dolg"):
+        # The _all variants prepend [CLS], so the pool sees N+1 tokens —
+        # never a square grid. These three reshape tokens to (H, W, C) (or
+        # add a feat_size²+1-row pos_embed after prepending their own mean
+        # token), so the reference's own modules crash on every _all input
+        # too (attention_pool2d.py:158 broadcast, cbam.py / dolg.py square
+        # reshape). Fail early with the reason instead of an opaque
+        # broadcast/reshape error deep inside tracing.
+        raise ValueError(
+            f"--cls_features {cfg.cls_features}: the grid-reshaping "
+            f"poolings (clip/cbam/dolg) cannot consume the [CLS]-prepended "
+            f"N+1 token sequence the _all variants produce (N+1 is never a "
+            f"square grid); the reference CLI exposes this name but its own "
+            f"module crashes identically. Use '{name}' (patch tokens only).")
     if name == "abmilp":
         return ABMILPHead(
             dim=dim, self_attention_apply_to=cfg.abmilp_sa,

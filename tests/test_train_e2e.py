@@ -53,6 +53,14 @@ def test_ep_head_trains(tmp_path):
     assert res["max_accuracy"] > 40.0
 
 
+def test_ep_all_head_trains(tmp_path):
+    """The _all variant pools over [CLS]+patches (models_vit.py:414-417)
+    through the whole driver: remap, head graft, train, eval, checkpoint."""
+    res = main(_cfg(tmp_path, cls_features="ep_all", ep_queries=4, d_out=1,
+                    pallas_pool=False, epochs=4))
+    assert res["max_accuracy"] > 40.0
+
+
 def test_resume_continues(tmp_path):
     main(_cfg(tmp_path, epochs=2))
     # auto-resume picks up the checkpoint and trains epochs 2..3
